@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is an implemented operator from SURVEY.md §2
+of the splade_spark engine; ``oracle_sql()`` holds its ANSI-SQL twin
+(DuckDB) built in ``splade_spark.sql_oracle`` so engine and oracle
+share tokenizer/BM25 constants.
 """
 
 from __future__ import annotations
@@ -12,27 +11,86 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from splade_spark import sql_oracle
+from splade_spark.engine import bm25_run, logical_postings
+from splade_spark.functions.bm25 import corpus_stats, term_df
+from splade_spark.functions.tokenize import doc_terms, tokenize_docs
+from splade_spark.operators.retrieval import query_terms
+from splade_spark.sources.pages import load_documents
+from splade_spark.synth import derive_queries
+
+TOPK_K = 10
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25 top-10 ranked run over the derived query set."""
+    return bm25_run(load_documents(spark, "/root/testdata/sf0.001"), k=TOPK_K)
+
+
+# --- query builders (spark, sf_dir) -> DataFrame ---------------------------
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25_run(load_documents(spark, sf_dir), k=TOPK_K)
+
+
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_documents(spark, sf_dir)
+    dterms = doc_terms(docs)
+    dls = tokenize_docs(docs).select("doc_id", "dl")
+    stats = corpus_stats(dls)
+    agg = dterms.agg(
+        F.countDistinct("term").alias("vocab_size"),
+        F.count("*").alias("nnz"),
+    )
+    return stats.join(agg).select(
+        "n_docs", F.round("avgdl", 6).alias("avgdl"), "vocab_size", "nnz"
+    )
+
+
+def q_term_df_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dfs = term_df(doc_terms(load_documents(spark, sf_dir)))
+    return dfs.orderBy(F.desc("df"), F.asc("term")).limit(100)
+
+
+def q_doc_lens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tokenize_docs(load_documents(spark, sf_dir)).select(
+        "doc_id", F.col("dl").cast("long").alias("dl")
+    )
+
+
+def q_posting_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    post = logical_postings(load_documents(spark, sf_dir))
+    return post.groupBy("term", F.col("df").alias("posting_len")).agg(
+        F.round(F.max("impact"), 6).alias("max_impact"),
+        F.round(F.sum("impact"), 6).alias("sum_impact"),
+    )
+
+
+def q_query_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qt = query_terms(derive_queries(load_documents(spark, sf_dir)))
+    return qt.select("qid", "term", F.col("q_tf").cast("long").alias("q_tf"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "bm25_topk": q_bm25_topk,
+        "corpus_stats": q_corpus_stats,
+        "term_df_top": q_term_df_top,
+        "doc_lens": q_doc_lens,
+        "posting_stats": q_posting_stats,
+        "query_terms": q_query_terms,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "bm25_topk": sql_oracle.bm25_topk_sql(TOPK_K),
+        "corpus_stats": sql_oracle.CORPUS_STATS_SQL,
+        "term_df_top": sql_oracle.TERM_DF_TOP_SQL,
+        "doc_lens": sql_oracle.DOC_LENS_SQL,
+        "posting_stats": sql_oracle.POSTING_STATS_SQL,
+        "query_terms": sql_oracle.QUERY_TERMS_SQL,
+    }

@@ -1,0 +1,76 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec",
+ "queries": {name: sec, ...}, "sf": ...}
+
+Each query is forced end-to-end with a noop sink (no collect) so the
+measured cost is the distributed plan, not driver materialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def force(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    from splade_spark.session import get_spark
+
+    spark = get_spark(app="splade-bench", cores=CPUS)
+    sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0.1)
+
+    import __spark_entry__ as entrymod
+
+    from splade_spark.engine import bm25_run
+    from splade_spark.sources.pages import load_documents
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    qs = entrymod.queries()
+    # warm the JVM/parquet footer cache with a trivial action first
+    load_documents(spark, SF_DIR).count()
+
+    for name, q in sorted(qs.items()):
+        timed(name, lambda q=q: force(q(spark, SF_DIR)))
+
+    # headline retrieval at reference depth k=1000 (evaluate.py:164)
+    timed(
+        "bm25_topk_k1000",
+        lambda: force(bm25_run(load_documents(spark, SF_DIR), k=1000)),
+    )
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "splade_spark headline suite runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": CPUS,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,72 @@
+"""Query-time retrieval: broadcast query terms against postings,
+accumulate BM25 scores, take per-query top-k.
+
+Reference lifecycle (task/evaluator.py:161-180,241): numba kernel
+``scores[doc] += q_w * d_w`` over each query term's posting list,
+``scores > threshold`` filter, argpartition top-k (k=1000,
+evaluate.py:164). Our plan: equi-join q_terms ⋈ postings ON term
+with broadcast(q_terms) (queries ≪ index), hash-aggregate
+sum(q_tf * impact) — O(candidates) memory instead of the
+reference's dense O(N) accumulator, which cannot exist at 10^12
+docs — then a per-query window top-k.
+
+Physical plan at scale: the broadcast join prunes the postings scan
+to query-term buckets (Iceberg bucket(term_id) partition pruning);
+one shuffle for the score agg, one for the window — both
+AQE-coalesced.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from splade_spark import SCORE_THRESHOLD, TOPK_DEFAULT
+from splade_spark.functions.tokenize import tokens_col
+
+
+def query_terms(queries: DataFrame) -> DataFrame:
+    """(qid, term, q_tf) — query-side sparse vector. Reference analog:
+    query nonzeros (task/evaluator.py:232-233) + term-frequency counts
+    (pisa_inference/queries2pisa.py:34-39)."""
+    return (
+        queries.select("qid", F.explode(tokens_col("text")).alias("term"))
+        .groupBy("qid", "term")
+        .agg(F.count("*").cast("double").alias("q_tf"))
+    )
+
+
+def topk_window(scored: DataFrame, k: int) -> DataFrame:
+    """Deterministic per-query top-k: rank by (-score, doc_id).
+
+    The reference's argpartition does not order within k
+    (task/evaluator.py:152-159) — rank here is the induced ranking
+    pytrec_eval applies; ties broken by doc_id for determinism.
+    """
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def score_postings(
+    postings: DataFrame,
+    q_terms: DataFrame,
+    k: int = TOPK_DEFAULT,
+    threshold: float = SCORE_THRESHOLD,
+) -> DataFrame:
+    """Exhaustive scoring over a logical posting relation
+    (term, doc_id, impact). Returns (qid, doc_id, score, rank).
+
+    score is rounded to 6dp AFTER ranking-relevant arithmetic — the
+    rounded value is both the emitted score and the rank key so the
+    DuckDB oracle ranks identically.
+    """
+    joined = postings.join(F.broadcast(q_terms), "term")
+    scored = (
+        joined.groupBy("qid", "doc_id")
+        .agg(F.round(F.sum(F.col("q_tf") * F.col("impact")), 6).alias("score"))
+        .filter(F.col("score") > F.lit(threshold))
+    )
+    return topk_window(scored, k)
