@@ -17,9 +17,10 @@ from splade_spark import sql_oracle
 from splade_spark.engine import bm25_run, logical_postings
 from splade_spark.functions.bm25 import corpus_stats, term_df
 from splade_spark.functions.tokenize import doc_terms, tokenize_docs
+from splade_spark.operators.metrics import mrr_at_k, per_query_metrics, recall_at_k
 from splade_spark.operators.retrieval import query_terms
 from splade_spark.sources.pages import load_documents
-from splade_spark.synth import derive_queries
+from splade_spark.synth import derive_qrels, derive_queries
 
 TOPK_K = 10
 
@@ -74,6 +75,27 @@ def q_query_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return qt.select("qid", "term", F.col("q_tf").cast("long").alias("q_tf"))
 
 
+def _run_and_qrels(spark: SparkSession, sf_dir: str):
+    docs = load_documents(spark, sf_dir)
+    return bm25_run(docs, k=TOPK_K), derive_qrels(docs)
+
+
+def q_mrr10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    run, qrels = _run_and_qrels(spark, sf_dir)
+    return mrr_at_k(run, qrels, k=10)
+
+
+def q_recall10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    run, qrels = _run_and_qrels(spark, sf_dir)
+    return recall_at_k(run, qrels, k=10)
+
+
+def q_per_query_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    run, qrels = _run_and_qrels(spark, sf_dir)
+    pq = per_query_metrics(run, qrels, k=10)
+    return pq.select("qid", F.round("rr", 6).alias("rr"), F.round("recall", 6).alias("recall"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk": q_bm25_topk,
@@ -82,6 +104,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lens": q_doc_lens,
         "posting_stats": q_posting_stats,
         "query_terms": q_query_terms,
+        "mrr_at_10": q_mrr10,
+        "recall_at_10": q_recall10,
+        "per_query_metrics": q_per_query_metrics,
     }
 
 
@@ -93,4 +118,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_lens": sql_oracle.DOC_LENS_SQL,
         "posting_stats": sql_oracle.POSTING_STATS_SQL,
         "query_terms": sql_oracle.QUERY_TERMS_SQL,
+        "mrr_at_10": sql_oracle.mrr_sql(10),
+        "recall_at_10": sql_oracle.recall_sql(10),
+        "per_query_metrics": sql_oracle.PER_QUERY_METRICS_SQL,
     }

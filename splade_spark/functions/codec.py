@@ -1,0 +1,121 @@
+"""Posting-block codec: delta-gap VByte docids + exact float64 BM25
+impacts + uint8 quantized impacts, fixed-size blocks with per-block
+max score.
+
+Reference analogs: PISA binary export ``binarySequence``/
+``convertBinary`` length-prefixed uint32 arrays
+(pisa_inference/index2pisa.py:7-15,59-74); impact quantization
+``np.clip(np.rint(w*scale),0,255)``
+(bmp_inference/inference_all_beir_doc_bmp.py:78, scale=100
+inference_SPLADE.py:19); the per-block max is the Block-Max metadata
+PISA computes internally, made explicit here for DataFrame-side
+BMW/MaxScore pruning.
+
+All kernels are vectorized numpy (no per-value Python in encode hot
+path) — they run inside Arrow-batched pandas UDFs / applyInPandas.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from splade_spark import DOC_SCALE
+
+BLOCK_SIZE = 128
+
+_THRESHOLDS = [1 << (7 * k) for k in range(1, 9)]
+
+
+def vbyte_encode(values: np.ndarray) -> bytes:
+    """Vectorized VByte (7-bit groups, MSB = continuation)."""
+    a = np.asarray(values, dtype=np.uint64)
+    if a.size == 0:
+        return b""
+    nbytes = np.ones(a.shape, dtype=np.int64)
+    for t in _THRESHOLDS:
+        nbytes += a >= t
+    total = int(nbytes.sum())
+    out = np.zeros(total, dtype=np.uint8)
+    offsets = np.concatenate(([0], np.cumsum(nbytes)[:-1]))
+    max_b = int(nbytes.max())
+    for k in range(max_b):
+        mask = nbytes > k
+        byte = ((a[mask] >> np.uint64(7 * k)) & np.uint64(0x7F)).astype(np.uint8)
+        cont = (nbytes[mask] > k + 1).astype(np.uint8) << 7
+        out[offsets[mask] + k] = byte | cont
+    return out.tobytes()
+
+
+def vbyte_decode(data: bytes, n: int) -> np.ndarray:
+    """Inverse of vbyte_encode; returns uint64[n]."""
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    b = np.frombuffer(data, dtype=np.uint8)
+    is_end = (b & 0x80) == 0
+    # value index of each byte: 0-based, increments after each end byte
+    vidx = np.concatenate(([0], np.cumsum(is_end)[:-1]))
+    first_byte_pos = np.searchsorted(vidx, np.arange(n), side="left")
+    within = np.arange(b.size) - first_byte_pos[vidx]
+    vals = np.zeros(n, dtype=np.uint64)
+    np.bitwise_or.at(
+        vals,
+        vidx,
+        (b & np.uint8(0x7F)).astype(np.uint64) << (7 * within).astype(np.uint64),
+    )
+    return vals
+
+
+def quantize(impacts: np.ndarray, scale: int = DOC_SCALE) -> np.ndarray:
+    """uint8 quantized impacts — np.clip(np.rint(w*scale),0,255)."""
+    return np.clip(np.rint(np.asarray(impacts, dtype=np.float64) * scale), 0, 255).astype(
+        np.uint8
+    )
+
+
+def encode_posting_blocks(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    impacts: np.ndarray,
+    block_size: int = BLOCK_SIZE,
+    block_id_base: int = 0,
+):
+    """Split one (sorted-by-doc_id) posting run into encoded blocks.
+
+    Yields dict rows matching schema.POSTINGS block columns.
+    """
+    order = np.argsort(doc_ids, kind="stable")
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)[order]
+    tfs = np.asarray(tfs, dtype=np.int64)[order]
+    impacts = np.asarray(impacts, dtype=np.float64)[order]
+    for i, start in enumerate(range(0, len(doc_ids), block_size)):
+        d = doc_ids[start : start + block_size]
+        t = tfs[start : start + block_size]
+        w = impacts[start : start + block_size]
+        gaps = np.empty_like(d)
+        gaps[0] = 0  # first stored as gap from first_doc_id (itself)
+        gaps[1:] = np.diff(d)
+        yield {
+            "block_id": block_id_base + i,
+            "first_doc_id": int(d[0]),
+            "last_doc_id": int(d[-1]),
+            "n": int(len(d)),
+            "doc_gap_bytes": vbyte_encode(gaps.astype(np.uint64)),
+            "tf_bytes": vbyte_encode(t.astype(np.uint64)),
+            "impact_bytes": w.tobytes(),
+            "quant_bytes": quantize(w).tobytes(),
+            "block_max": float(w.max()),
+        }
+
+
+def decode_block(
+    first_doc_id: int, n: int, doc_gap_bytes: bytes, impact_bytes: bytes
+) -> tuple[np.ndarray, np.ndarray]:
+    """(doc_ids int64[n], impacts float64[n])."""
+    gaps = vbyte_decode(doc_gap_bytes, n).astype(np.int64)
+    doc_ids = first_doc_id + np.cumsum(gaps)
+    impacts = np.frombuffer(impact_bytes, dtype=np.float64)
+    return doc_ids, impacts
+
+
+def decode_tfs(tf_bytes: bytes, n: int) -> np.ndarray:
+    return vbyte_decode(tf_bytes, n).astype(np.int64)

@@ -1,0 +1,221 @@
+"""Resumable two-stage index build:
+
+Stage A ``segments`` — per-segment tokenize/explode/aggregate:
+  documents are hash-split into N segments (pmod(doc_id, N), the
+  Spark analog of the reference's 4-worker SLURM shard fan-out,
+  pisa_inference/launch.sh:2-16); each segment writes its
+  (term, doc_id, tf, dl) relation + (doc_id, dl) doc rows as a
+  parquet "segment" and commits a manifest snapshot with lineage
+  metrics. A killed build re-runs only uncommitted segments.
+  Impacts canNOT be finalized here: BM25 needs global N/avgdl/df.
+
+Stage B ``finalize`` — the N-way merge (reference analog:
+  index2pisa.py:30-74 single-process gather of per-shard JSONL):
+  union all segments, compute global stats + term dictionary,
+  weight postings, salt hot terms, groupBy(term_id, salt) →
+  applyInPandas block encoder → postings table partitioned by
+  bucket(term_id) for query-time partition pruning.
+
+Skew: a stopword-ish term at 10^12 docs has a posting run of ~N
+entries — it must never be collected into one task. ``salt =
+pmod(doc_id, ceil(df / salt_unit))`` bounds every applyInPandas
+group to ~salt_unit postings; blocks are independent (absolute
+first_doc_id + in-block gaps) so salted groups need no post-merge.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from splade_spark import schema as S
+from splade_spark.functions.bm25 import impact_col
+from splade_spark.functions.codec import BLOCK_SIZE, encode_posting_blocks
+from splade_spark.functions.tokenize import doc_terms, tokenize_docs
+from splade_spark.plans.snapshots import Manifest, dir_bytes
+
+DEFAULT_SEGMENTS = 4
+DEFAULT_BUCKETS = 32
+DEFAULT_SALT_UNIT = 1 << 16  # max postings per encoder group
+_BLOCK_ID_STRIDE = 1 << 24  # block_id = salt * stride + seq
+
+
+def build_segments(
+    documents: DataFrame,
+    index_dir: str,
+    n_segments: int = DEFAULT_SEGMENTS,
+) -> Manifest:
+    """Stage A. ``documents``: (doc_id long, text string [, url])."""
+    man = Manifest.load(index_dir)
+    done = man.committed("segment")
+    for seg in range(n_segments):
+        key = f"seg={seg}"
+        if key in done:
+            continue
+        t0 = time.time()
+        seg_docs = documents.filter(F.pmod("doc_id", F.lit(n_segments)) == seg)
+        terms = doc_terms(seg_docs).select("term", "doc_id", "tf", "dl")
+        seg_dir = os.path.join(index_dir, "segments", key)
+        terms.write.mode("overwrite").parquet(os.path.join(seg_dir, "terms"))
+        lens = tokenize_docs(seg_docs).select("doc_id", "dl")
+        lens.write.mode("overwrite").parquet(os.path.join(seg_dir, "docs"))
+        n_rows = seg_docs.count()
+        man.commit(
+            "segment",
+            key,
+            rows=n_rows,
+            bytes_=dir_bytes(seg_dir),
+            wall_ms=int((time.time() - t0) * 1000),
+            partition_id=seg,
+        )
+    return man
+
+
+def _encoder(block_size: int):
+    def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        term_id = int(pdf["term_id"].iloc[0])
+        bucket = int(pdf["bucket"].iloc[0])
+        salt = int(pdf["salt"].iloc[0])
+        rows = list(
+            encode_posting_blocks(
+                pdf["doc_id"].to_numpy(),
+                pdf["tf"].to_numpy(),
+                pdf["impact"].to_numpy(),
+                block_size=block_size,
+                block_id_base=salt * _BLOCK_ID_STRIDE,
+            )
+        )
+        out = pd.DataFrame(rows)
+        out.insert(0, "term_id", term_id)
+        out.insert(1, "bucket", bucket)
+        return out[
+            [
+                "term_id",
+                "bucket",
+                "block_id",
+                "first_doc_id",
+                "last_doc_id",
+                "n",
+                "doc_gap_bytes",
+                "tf_bytes",
+                "impact_bytes",
+                "quant_bytes",
+                "block_max",
+            ]
+        ]
+
+    return encode_group
+
+
+def finalize_index(
+    spark: SparkSession,
+    index_dir: str,
+    n_buckets: int = DEFAULT_BUCKETS,
+    block_size: int = BLOCK_SIZE,
+    salt_unit: int = DEFAULT_SALT_UNIT,
+) -> Manifest:
+    """Stage B: N-way segment merge -> stats, term_dict, postings."""
+    man = Manifest.load(index_dir)
+    if "index" in man.committed("finalize"):
+        return man
+    t0 = time.time()
+    seg_glob = os.path.join(index_dir, "segments", "*")
+    terms = spark.read.parquet(os.path.join(seg_glob, "terms"))
+    lens = spark.read.parquet(os.path.join(seg_glob, "docs"))
+
+    # --- global stats ------------------------------------------------------
+    n_docs, avgdl = lens.agg(
+        F.count("*").cast("long"), F.avg("dl").cast("double")
+    ).first()
+    with open(os.path.join(index_dir, "stats.json"), "w") as f:
+        json.dump({"n_docs": n_docs, "avgdl": avgdl}, f)
+
+    # docs dimension table
+    lens.write.mode("overwrite").parquet(os.path.join(index_dir, "docs"))
+
+    # --- term dictionary ---------------------------------------------------
+    # Dense term ids by deterministic term order (replaces the
+    # reference's first-appearance enumeration, index2pisa.py:53-57).
+    # Vocab ≪ postings; single-partition window over the vocab-sized
+    # relation is the standard dictionary-build pattern.
+    dfs = terms.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    term_dict = dfs.withColumn(
+        "term_id",
+        (F.row_number().over(Window.orderBy("term")) - 1).cast("int"),
+    )
+    term_dict.write.mode("overwrite").parquet(os.path.join(index_dir, "term_dict"))
+    term_dict = spark.read.parquet(os.path.join(index_dir, "term_dict"))
+
+    # --- weighted postings + salted block encode ---------------------------
+    weighted = (
+        terms.join(term_dict, "term")
+        .select(
+            "term_id",
+            "doc_id",
+            "tf",
+            impact_col(
+                F.col("tf"),
+                F.col("dl"),
+                F.col("df"),
+                F.lit(n_docs),
+                F.lit(avgdl),
+            ).alias("impact"),
+            F.ceil(F.col("df") / F.lit(salt_unit)).cast("int").alias("n_salts"),
+        )
+        .withColumn("salt", F.pmod("doc_id", F.greatest("n_salts", F.lit(1))).cast("int"))
+        .withColumn("bucket", F.pmod("term_id", F.lit(n_buckets)).cast("int"))
+    )
+    blocks = weighted.groupBy("term_id", "salt").applyInPandas(
+        _encoder(block_size), schema=S.POSTINGS
+    )
+    (
+        blocks.repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(os.path.join(index_dir, "postings"))
+    )
+    post_dir = os.path.join(index_dir, "postings")
+    written = spark.read.parquet(post_dir)
+    n_blocks = written.count()
+
+    # term-level upper bounds (MaxScore metadata): max block_max per term
+    term_max = written.groupBy("term_id").agg(F.max("block_max").alias("max_impact"))
+    td_final = term_dict.join(term_max, "term_id", "left").na.fill(
+        {"max_impact": 0.0}
+    )
+    tmp_td = os.path.join(index_dir, "term_dict_tmp")
+    td_final.write.mode("overwrite").parquet(tmp_td)
+    spark.read.parquet(tmp_td).write.mode("overwrite").parquet(
+        os.path.join(index_dir, "term_dict")
+    )
+    man.commit(
+        "finalize",
+        "index",
+        rows=n_blocks,
+        bytes_=dir_bytes(post_dir),
+        wall_ms=int((time.time() - t0) * 1000),
+    )
+    return man
+
+
+def build_index(
+    documents: DataFrame,
+    index_dir: str,
+    n_segments: int = DEFAULT_SEGMENTS,
+    n_buckets: int = DEFAULT_BUCKETS,
+    block_size: int = BLOCK_SIZE,
+    salt_unit: int = DEFAULT_SALT_UNIT,
+) -> Manifest:
+    spark = documents.sparkSession
+    build_segments(documents, index_dir, n_segments)
+    return finalize_index(
+        spark, index_dir, n_buckets=n_buckets, block_size=block_size, salt_unit=salt_unit
+    )

@@ -1,0 +1,142 @@
+"""Lossless Block-Max / MaxScore pruning for the compressed index.
+
+The reference delegates this to the external PISA engine (binary
+format produced at pisa_inference/index2pisa.py:59-74; PISA runs
+Block-Max WAND / MaxScore on it, pisa_inference/README.md). Here the
+same pruning is expressed as ordinary DataFrame joins/filters — no
+Catalyst extension.
+
+Two-pass plan (SURVEY.md §4), per query but fully set-based:
+
+Pass 1 (floor): for each query pick the champion term (highest
+  ub_t = q_tf * max_impact_t); decode only its blocks. The top-k
+  docs by single-term partial become floor CANDIDATES; their exact
+  total scores are computed by decoding only the blocks whose
+  [first_doc_id, last_doc_id] range contains a candidate (a
+  broadcast range join — candidates are <= k per query). With >= k
+  candidates exactly scored, theta_q = their k-th largest exact
+  score is a valid lower bound of the true k-th score.
+
+Pass 2 (prune + exact): a block b of term t upper-bounds every
+  member doc's total score by
+     UB(b) = total_ub_q - ub_t + q_tf_t * block_max_b.
+  If UB(b) < theta_q the block can contain no top-k doc, and every
+  doc with true score >= theta_q keeps ALL its blocks, so surviving
+  scores are exact and the top-k is identical to exhaustive scoring
+  (proof sketch in docstring of test_maxscore.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from splade_spark import SCORE_THRESHOLD, TOPK_DEFAULT
+from splade_spark.operators.index_query import (
+    _decode_partials,
+    load_postings,
+    load_term_dict,
+)
+from splade_spark.operators.retrieval import query_terms, topk_window
+
+_DECODE_COLS = ["qid", "q_tf", "first_doc_id", "n", "doc_gap_bytes", "impact_bytes"]
+
+
+def search_maxscore(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = TOPK_DEFAULT,
+    threshold: float = SCORE_THRESHOLD,
+    debug_counts: dict | None = None,
+) -> DataFrame:
+    term_dict = load_term_dict(spark, index_dir)
+    postings = load_postings(spark, index_dir)
+
+    qt = (
+        query_terms(queries)
+        .join(term_dict.select("term", "term_id", "max_impact"), "term")
+        .select(
+            "qid",
+            "term_id",
+            "q_tf",
+            (F.col("q_tf") * F.col("max_impact")).alias("ub"),
+        )
+    )
+    qt = qt.cache()
+
+    # bucket-literal partition pruning, then per-term semi restriction
+    n_buckets = postings.select(F.max("bucket")).first()[0] + 1
+    buckets = sorted(
+        {int(r.term_id) % n_buckets for r in qt.select("term_id").distinct().collect()}
+    )
+    cand_blocks = postings.filter(F.col("bucket").isin(buckets)).join(
+        F.broadcast(qt), "term_id"
+    )
+
+    # ---- pass 1: champion-term floor ----------------------------------
+    champ_w = Window.partitionBy("qid").orderBy(F.desc("ub"), F.asc("term_id"))
+    champions = (
+        qt.withColumn("rn", F.row_number().over(champ_w)).filter("rn = 1").drop("rn")
+    )
+    champ_partials = (
+        cand_blocks.join(
+            F.broadcast(champions.select("qid", "term_id")), ["qid", "term_id"]
+        )
+        .select(*_DECODE_COLS)
+        .mapInPandas(_decode_partials, schema="qid long, doc_id long, partial double")
+    )
+    kth_w = Window.partitionBy("qid").orderBy(F.desc("partial"), F.asc("doc_id"))
+    candidates = (
+        champ_partials.withColumn("rn", F.row_number().over(kth_w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "doc_id")
+    )
+    # exact-score the candidates: decode only blocks whose doc range
+    # covers a candidate doc (broadcast NLJ on the tiny candidate set)
+    cand_cover = cand_blocks.alias("b").join(
+        F.broadcast(candidates).alias("c"),
+        (F.col("b.qid") == F.col("c.qid"))
+        & (F.col("c.doc_id") >= F.col("b.first_doc_id"))
+        & (F.col("c.doc_id") <= F.col("b.last_doc_id")),
+        "left_semi",
+    )
+    cand_scores = (
+        cand_cover.select(*_DECODE_COLS)
+        .mapInPandas(_decode_partials, schema="qid long, doc_id long, partial double")
+        .join(F.broadcast(candidates), ["qid", "doc_id"])
+        .groupBy("qid", "doc_id")
+        .agg(F.sum("partial").alias("exact"))
+    )
+    floors = (
+        cand_scores.groupBy("qid")
+        .agg(F.count("*").alias("m"), F.sort_array(F.collect_list("exact"), False).alias("xs"))
+        .filter(F.col("m") >= k)
+        .select("qid", F.element_at("xs", k).alias("theta"))
+    )
+
+    # ---- pass 2: block prune + exact scoring --------------------------
+    total_ub = qt.groupBy("qid").agg(F.sum("ub").alias("total_ub"))
+    pruned = (
+        cand_blocks.join(F.broadcast(total_ub), "qid")
+        .join(F.broadcast(floors), "qid", "left")
+        .withColumn("theta", F.coalesce(F.col("theta"), F.lit(threshold)))
+        .withColumn(
+            "block_ub",
+            F.col("total_ub") - F.col("ub") + F.col("q_tf") * F.col("block_max"),
+        )
+        .filter(F.col("block_ub") >= F.col("theta"))
+    )
+    if debug_counts is not None:
+        debug_counts["blocks_total"] = cand_blocks.count()
+        debug_counts["blocks_kept"] = pruned.count()
+
+    partials = pruned.select(*_DECODE_COLS).mapInPandas(
+        _decode_partials, schema="qid long, doc_id long, partial double"
+    )
+    scored = (
+        partials.groupBy("qid", "doc_id")
+        .agg(F.round(F.sum("partial"), 6).alias("score"))
+        .filter(F.col("score") > F.lit(threshold))
+    )
+    return topk_window(scored, k)

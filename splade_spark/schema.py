@@ -67,6 +67,7 @@ POSTINGS = T.StructType(
         T.StructField("bucket", T.IntegerType(), False),
         T.StructField("block_id", T.IntegerType(), False),
         T.StructField("first_doc_id", T.LongType(), False),
+        T.StructField("last_doc_id", T.LongType(), False),
         T.StructField("n", T.IntegerType(), False),
         T.StructField("doc_gap_bytes", T.BinaryType(), False),
         T.StructField("tf_bytes", T.BinaryType(), False),

@@ -26,6 +26,14 @@ def get_spark(
 ) -> SparkSession:
     cores = cores or default_cores()
     shuffle_partitions = shuffle_partitions or max(cores, 8)
+    # Make the package importable in Python workers regardless of the
+    # driver's cwd (local-mode analog of `spark-submit --py-files`;
+    # on a real cluster, ship the package zip via --py-files).
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if pkg_root not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + os.pathsep + os.environ.get("PYTHONPATH", "")
+        ).rstrip(os.pathsep)
     builder = (
         SparkSession.builder.appName(app)
         .master(f"local[{cores}]")
@@ -37,6 +45,7 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():

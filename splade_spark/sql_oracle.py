@@ -109,3 +109,54 @@ QUERY_TERMS_SQL = (
 SELECT qid, term, CAST(q_tf AS BIGINT) AS q_tf FROM qterms ORDER BY qid, term
 """
 )
+
+
+def _run_ctes(k: int) -> str:
+    return (
+        BM25_CTES
+        + f""",
+scored AS (
+  SELECT q.qid, p.doc_id, round(sum(q.q_tf * p.impact), 6) AS score
+  FROM post p JOIN qterms q USING (term)
+  GROUP BY q.qid, p.doc_id
+  HAVING round(sum(q.q_tf * p.impact), 6) > 0.0
+),
+run AS (
+  SELECT qid, doc_id, score,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM scored QUALIFY rank <= {k}
+),
+qrels AS (
+  SELECT doc_id AS qid, doc_id, 1 AS rel FROM documents WHERE doc_id % {QID_STRIDE} = 0
+),
+n_rel AS (SELECT qid, count(*) AS n_rel FROM qrels GROUP BY qid),
+hits AS (
+  SELECT r.qid, min(r.rank) AS best_rank, count(*) AS n_hit
+  FROM run r JOIN qrels q ON r.qid = q.qid AND r.doc_id = q.doc_id
+  GROUP BY r.qid
+),
+pq AS (
+  SELECT n.qid,
+         coalesce(1.0 / h.best_rank, 0.0) AS rr,
+         coalesce(h.n_hit, 0) * 1.0 / n.n_rel AS recall
+  FROM n_rel n LEFT JOIN hits h USING (qid)
+)
+"""
+    )
+
+
+def mrr_sql(k: int) -> str:
+    return _run_ctes(k) + f"SELECT 'mrr@{k}' AS metric, round(avg(rr), 6) AS value FROM pq"
+
+
+def recall_sql(k: int) -> str:
+    return (
+        _run_ctes(k)
+        + f"SELECT 'recall@{k}' AS metric, round(avg(recall), 6) AS value FROM pq"
+    )
+
+
+PER_QUERY_METRICS_SQL = (
+    _run_ctes(10)
+    + "SELECT qid, round(rr, 6) AS rr, round(recall, 6) AS recall FROM pq"
+)

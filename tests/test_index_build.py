@@ -1,0 +1,100 @@
+"""Materialized (compressed, salted, block-encoded) index path must be
+result-identical to the logical DataFrame path, and the build must be
+resumable from the snapshot manifest."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from splade_spark.engine import bm25_run
+from splade_spark.operators.index_build import (
+    build_index,
+    build_segments,
+    finalize_index,
+)
+from splade_spark.operators.index_query import search
+from splade_spark.plans.snapshots import Manifest
+from splade_spark.sources.pages import load_documents
+from splade_spark.synth import derive_queries
+
+from tests.conftest import SF_SMOKE
+
+K = 10
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    index_dir = str(tmp_path_factory.mktemp("idx"))
+    docs = load_documents(spark, SF_SMOKE)
+    # tiny salt_unit + block_size to force multi-block, multi-salt paths
+    build_index(docs, index_dir, n_segments=3, n_buckets=8, block_size=16, salt_unit=64)
+    return index_dir
+
+
+def test_index_search_matches_logical(spark, built):
+    docs = load_documents(spark, SF_SMOKE)
+    queries = derive_queries(docs)
+    want = (
+        bm25_run(docs, k=K)
+        .toPandas()
+        .sort_values(["qid", "rank"])
+        .reset_index(drop=True)
+    )
+    got = (
+        search(spark, built, queries, k=K)
+        .toPandas()
+        .sort_values(["qid", "rank"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    assert (got.qid.values == want.qid.values).all()
+    assert (got.doc_id.values == want.doc_id.values).all()
+    assert (abs(got.score.values - want.score.values) < 1e-9).all()
+
+
+def test_blocks_and_salting_materialized(spark, built):
+    post = spark.read.parquet(os.path.join(built, "postings"))
+    assert post.filter("n > 16").count() == 0  # block_size respected
+    assert post.select("bucket").distinct().count() > 1
+    # hot terms (df > salt_unit=64) must span multiple salt groups:
+    # salted groups encode with block_id_base = salt << 24
+    hot = post.filter("block_id >= 16777216")
+    assert hot.count() > 0
+
+
+def test_resume_skips_committed_segments(spark, tmp_path):
+    index_dir = str(tmp_path / "idx2")
+    docs = load_documents(spark, SF_SMOKE)
+    # simulate a killed job: only 2 of 3 segments committed
+    build_segments(docs.filter("doc_id % 3 != 2"), index_dir, n_segments=3)
+    man = Manifest.load(index_dir)
+    committed_before = man.committed("segment")
+    assert committed_before == {"seg=0", "seg=1", "seg=2"}
+    # drop seg=2's commit to mimic a crash mid-segment
+    man.snapshots = [s for s in man.snapshots if s["key"] != "seg=2"]
+    man.commit("noop", "noop")  # persist truncated manifest
+    man.snapshots = [s for s in man.snapshots if s["stage"] != "noop"]
+    with open(man.path, "w") as f:
+        json.dump({"snapshots": man.snapshots}, f)
+
+    # resume with the FULL corpus: seg=0/1 must be skipped (their
+    # parquet still holds the filtered subset), seg=2 rebuilt complete
+    build_segments(docs, index_dir, n_segments=3)
+    man2 = Manifest.load(index_dir)
+    assert man2.committed("segment") == {"seg=0", "seg=1", "seg=2"}
+    seg_rows = {s["key"]: s["rows"] for s in man2.snapshots if s["stage"] == "segment"}
+    full_seg2 = docs.filter("doc_id % 3 = 2").count()
+    assert seg_rows["seg=2"] == full_seg2
+
+    finalize_index(spark, index_dir, n_buckets=8)
+    man3 = Manifest.load(index_dir)
+    assert "index" in man3.committed("finalize")
+    # lineage metrics recorded per partition
+    seg_lineage = [s for s in man3.snapshots if s["stage"] == "segment"]
+    assert all(s["rows"] >= 0 and s["bytes"] > 0 and s["wall_ms"] >= 0 for s in seg_lineage)
+    # finalize is idempotent once committed
+    finalize_index(spark, index_dir, n_buckets=8)
+    assert len(Manifest.load(index_dir).snapshots) == len(man3.snapshots)
