@@ -15,12 +15,23 @@ from pyspark.sql import functions as F
 
 from splade_spark import sql_oracle
 from splade_spark.engine import bm25_run, logical_postings
+from splade_spark.functions import textstats
 from splade_spark.functions.bm25 import corpus_stats, term_df
+from splade_spark.functions.multimodal import (
+    documents_to_media,
+    extract_features,
+    sample_frames,
+)
 from splade_spark.functions.tokenize import doc_terms, tokenize_docs
+from splade_spark.operators import ann, dedup
 from splade_spark.operators.metrics import mrr_at_k, per_query_metrics, recall_at_k
 from splade_spark.operators.retrieval import query_terms
-from splade_spark.sources.pages import load_documents
+from splade_spark.sources.pages import load_documents, load_table
 from splade_spark.synth import derive_qrels, derive_queries
+
+PAIR_SAMPLE_MOD = 5  # subsample for quadratic candidate-pair ops
+PAIR_WHERE = f"doc_id % {PAIR_SAMPLE_MOD} = 0"
+EMB_DIM = 64
 
 TOPK_K = 10
 
@@ -96,8 +107,95 @@ def q_per_query_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq.select("qid", F.round("rr", 6).alias("rr"), F.round("recall", 6).alias("recall"))
 
 
+def _docs_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_documents(spark, sf_dir).filter(
+        F.col("doc_id") % PAIR_SAMPLE_MOD == 0
+    )
+
+
+def q_exact_dedup(spark, sf_dir):
+    return dedup.exact_dedup(load_documents(spark, sf_dir))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(load_documents(spark, sf_dir), min_jaccard=0.1)
+
+
+def q_minhash_signatures(spark, sf_dir):
+    return dedup.minhash_signatures(load_documents(spark, sf_dir))
+
+
+def q_minhash_lsh(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(load_documents(spark, sf_dir), min_est=0.2)
+
+
+def q_simhash(spark, sf_dir):
+    return dedup.simhash(load_documents(spark, sf_dir))
+
+
+def q_simhash_pairs(spark, sf_dir):
+    return dedup.simhash_pairs(_docs_sample(spark, sf_dir), max_hamming=3)
+
+
+def q_token_counts(spark, sf_dir):
+    return textstats.token_counts(load_documents(spark, sf_dir))
+
+
+def q_quality(spark, sf_dir):
+    return textstats.quality_scores(load_documents(spark, sf_dir))
+
+
+def q_lang_id(spark, sf_dir):
+    return textstats.lang_id(load_documents(spark, sf_dir))
+
+
+def q_fingerprints(spark, sf_dir):
+    return textstats.fingerprints(load_documents(spark, sf_dir))
+
+
+def q_ann_cosine(spark, sf_dir):
+    return ann.cosine_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+def q_emb_dup(spark, sf_dir):
+    return ann.embedding_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), min_cos=0.2, sample_mod=PAIR_SAMPLE_MOD
+    )
+
+
+def q_ann_lsh(spark, sf_dir):
+    return ann.lsh_cosine_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+def q_multimodal_features(spark, sf_dir):
+    media = documents_to_media(load_documents(spark, sf_dir))
+    return extract_features(media).select(
+        "media_id", "width", "height", "n_bytes"
+    )  # rows-only check (fake decoder, stubbed byte decode)
+
+
+def q_multimodal_frames(spark, sf_dir):
+    media = documents_to_media(load_documents(spark, sf_dir))
+    return sample_frames(media).select("media_id", "frame_idx", "offset_s", "frame_hash")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "exact_dedup": q_exact_dedup,
+        "ngram_jaccard_pairs": q_ngram_jaccard,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_lsh_pairs": q_minhash_lsh,
+        "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
+        "token_counts": q_token_counts,
+        "quality_scores": q_quality,
+        "lang_id": q_lang_id,
+        "fingerprints": q_fingerprints,
+        "ann_cosine_topk": q_ann_cosine,
+        "embedding_dup_pairs": q_emb_dup,
+        "ann_lsh_topk": q_ann_lsh,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
         "bm25_topk": q_bm25_topk,
         "corpus_stats": q_corpus_stats,
         "term_df_top": q_term_df_top,
@@ -112,6 +210,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "exact_dedup": sql_oracle.EXACT_DEDUP_SQL,
+        "ngram_jaccard_pairs": sql_oracle.ngram_jaccard_sql(min_jaccard=0.1),
+        "minhash_signatures": sql_oracle.minhash_signatures_sql(),
+        "minhash_lsh_pairs": sql_oracle.minhash_lsh_pairs_sql(min_est=0.2),
+        "simhash": sql_oracle.simhash_sql(),
+        "simhash_pairs": sql_oracle.simhash_pairs_sql(
+            max_hamming=3, where=PAIR_WHERE
+        ),
+        "token_counts": sql_oracle.TOKEN_COUNTS_SQL,
+        "quality_scores": sql_oracle.QUALITY_SQL,
+        "lang_id": sql_oracle.LANG_ID_SQL,
+        "fingerprints": sql_oracle.FINGERPRINTS_SQL,
+        "ann_cosine_topk": sql_oracle.cosine_topk_sql(),
+        "embedding_dup_pairs": sql_oracle.embedding_dup_pairs_sql(
+            min_cos=0.2, sample_mod=PAIR_SAMPLE_MOD
+        ),
+        "ann_lsh_topk": sql_oracle.lsh_topk_sql(EMB_DIM),
+        # multimodal_* intentionally omitted: binary decode is not
+        # SQL-expressible -> driver records rows-only checks
         "bm25_topk": sql_oracle.bm25_topk_sql(TOPK_K),
         "corpus_stats": sql_oracle.CORPUS_STATS_SQL,
         "term_df_top": sql_oracle.TERM_DF_TOP_SQL,

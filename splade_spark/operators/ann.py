@@ -1,0 +1,182 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: brute-force exact cosine top-k — the baseline and
+  the recall oracle. Queries are broadcast; the scan over the vector
+  table is embarrassingly parallel (no shuffle until the per-query
+  window top-k, which AQE coalesces).
+- ``lsh_cosine_topk``: random-hyperplane LSH bucketing (signs of 8
+  deterministic md5-derived hyperplane projections); candidates are
+  same-bucket vectors, exact cosine within. The scale path: bucket
+  join replaces the full scan; recall vs brute force is measured in
+  tests, not assumed.
+
+All arithmetic is float64 left-fold (F.aggregate over zip_with) so
+the DuckDB twins reproduce values exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from splade_spark.functions.hashing import md5_int
+from splade_spark.operators.retrieval import (  # reuse deterministic window
+    topk_window,
+)
+
+LSH_PLANES = 8
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def with_norms(embeddings: DataFrame) -> DataFrame:
+    return embeddings.select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame, query_mod: int = 50, k: int = 10
+) -> DataFrame:
+    """(q_id, vec_id, cos, rank): exact top-k neighbors (self excluded)
+    for every vec_id % query_mod == 0 query vector."""
+    base = with_norms(embeddings)
+    qs = base.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    pairs = base.join(F.broadcast(qs), F.col("vec_id") != F.col("q_id"))
+    scored = pairs.select(
+        F.col("q_id").alias("qid"),  # topk_window keys on qid/doc_id
+        F.col("vec_id").alias("doc_id"),
+        F.round(
+            _dot(F.col("q_emb"), F.col("embedding"))
+            / (F.col("q_nrm") * F.col("nrm")),
+            6,
+        ).alias("score"),
+    )
+    out = topk_window(scored, k)
+    return out.select(
+        F.col("qid").alias("q_id"),
+        F.col("doc_id").alias("vec_id"),
+        F.col("score").alias("cos"),
+        "rank",
+    )
+
+
+def embedding_dup_pairs(
+    embeddings: DataFrame, min_cos: float = 0.9, sample_mod: int = 1
+) -> DataFrame:
+    """(a, b, cos): near-duplicate vector pairs above a cosine
+    threshold (brute force over an optional subsample)."""
+    base = with_norms(embeddings).filter(F.col("vec_id") % sample_mod == 0)
+    a = base.alias("a")
+    b = base.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("a"),
+            F.col("b.vec_id").alias("b"),
+            F.round(
+                _dot(F.col("a.embedding"), F.col("b.embedding"))
+                / (F.col("a.nrm") * F.col("b.nrm")),
+                6,
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= min_cos)
+    )
+
+
+def hyperplanes(spark, dim: int, n_planes: int = LSH_PLANES) -> DataFrame:
+    """(plane, d, v): deterministic pseudo-random hyperplanes,
+    v = md5_int('p_d')/2^31 - 1 in [-1, 1)."""
+    return (
+        spark.range(n_planes)
+        .withColumnRenamed("id", "plane")
+        .crossJoin(spark.range(1, dim + 1).withColumnRenamed("id", "d"))
+        .select(
+            "plane",
+            "d",
+            (
+                md5_int(
+                    F.concat(
+                        F.col("plane").cast("string"), F.lit("_"), F.col("d").cast("string")
+                    )
+                )
+                / F.lit(float(1 << 31))
+                - 1.0
+            ).alias("v"),
+        )
+    )
+
+
+def lsh_signatures(embeddings: DataFrame, n_planes: int = LSH_PLANES) -> DataFrame:
+    """(vec_id, bucket): sign-bit bucket from hyperplane projections.
+
+    Projections use the same sequential left-fold dot product as the
+    exact path (per-row, no shuffle — hyperplane values are generated
+    as an array literal per plane, broadcast via the closure)."""
+    spark = embeddings.sparkSession
+    dim = len(embeddings.select("embedding").first()[0])
+    hp = hyperplanes(spark, dim, n_planes).orderBy("plane", "d").collect()
+    planes = [
+        F.array(*[F.lit(r.v) for r in hp if r.plane == p]) for p in range(n_planes)
+    ]
+    bucket = None
+    for p, arr in enumerate(planes):
+        bit = F.when(_dot(F.col("embedding"), arr) > 0, F.lit(1 << p)).otherwise(
+            F.lit(0)
+        )
+        bucket = bit if bucket is None else bucket + bit
+    return embeddings.select("vec_id", "embedding", bucket.alias("bucket"))
+
+
+def lsh_cosine_topk(
+    embeddings: DataFrame,
+    query_mod: int = 50,
+    k: int = 10,
+    n_planes: int = LSH_PLANES,
+) -> DataFrame:
+    """(q_id, vec_id, cos, rank): approximate top-k — candidates from
+    the query's LSH bucket only, exact cosine within."""
+    sigs = lsh_signatures(embeddings, n_planes)
+    base = sigs.join(
+        with_norms(embeddings).select("vec_id", "nrm"), "vec_id"
+    )
+    qs = base.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    cand = base.join(
+        F.broadcast(qs),
+        (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("q_id")),
+    )
+    scored = cand.select(
+        F.col("q_id").alias("qid"),
+        F.col("vec_id").alias("doc_id"),
+        F.round(
+            _dot(F.col("q_emb"), F.col("embedding"))
+            / (F.col("q_nrm") * F.col("nrm")),
+            6,
+        ).alias("score"),
+    )
+    out = topk_window(scored, k)
+    return out.select(
+        F.col("qid").alias("q_id"),
+        F.col("doc_id").alias("vec_id"),
+        F.col("score").alias("cos"),
+        "rank",
+    )

@@ -1,0 +1,234 @@
+"""Deduplication operators for web-scale training-data pipelines.
+
+Not in the reference (its corpus is pre-deduped MS MARCO) but a core
+capability of any 10^12-doc Common-Crawl pipeline. All variants are
+pure DataFrame ops over md5-derived hashes (functions/hashing.py) so
+each has an exact DuckDB twin.
+
+Scale notes per operator in docstrings — the common theme: never
+materialize O(n^2); candidates come from equality joins on content
+keys (hash, shingle, band, simhash prefix), which Spark executes as
+shuffled hash joins partitioned by the key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from splade_spark.functions.hashing import md5_int, md5_int_seeded
+from splade_spark.functions.tokenize import tokens_col
+
+NGRAM_N = 3
+MINHASH_SIGS = 16
+MINHASH_BANDS = 8  # 2 rows per band
+SIMHASH_BITS = 32
+
+
+def exact_dedup(documents: DataFrame) -> DataFrame:
+    """(doc_id, text_hash, canonical_id, is_dup): hash-groupBy exact
+    dedup; canonical = min doc_id per hash. One shuffle on the hash."""
+    hashed = documents.select(
+        "doc_id", F.md5(F.col("text")).alias("text_hash")
+    )
+    w = Window.partitionBy("text_hash")
+    return (
+        hashed.withColumn("canonical_id", F.min("doc_id").over(w))
+        .withColumn("is_dup", (F.col("doc_id") != F.col("canonical_id")).cast("int"))
+        .select("doc_id", "text_hash", "canonical_id", "is_dup")
+    )
+
+
+def shingles_col(text: Column, n: int = NGRAM_N) -> Column:
+    """array of word n-gram strings (space-joined)."""
+    toks = tokens_col(text)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]
+        ),
+    )
+
+
+def doc_shingles(documents: DataFrame, n: int = NGRAM_N) -> DataFrame:
+    """(doc_id, shingle) distinct."""
+    return (
+        documents.select(
+            "doc_id", F.explode(shingles_col(F.col("text"), n)).alias("shingle")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame, n: int = NGRAM_N, min_jaccard: float = 0.2
+) -> DataFrame:
+    """(a, b, jaccard) for candidate pairs sharing >=1 shingle.
+
+    Scale: the shingle self-join is partitioned by shingle; hot
+    shingles are the skew risk — at production scale drop shingles
+    with df above a cap first (they carry no dedup signal). Here the
+    fixture corpus is small enough to keep all.
+    """
+    sh = doc_shingles(documents, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        shared.join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n_sh", "na"), "a")
+        .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n_sh", "nb"), "b")
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
+def minhash_signatures(documents: DataFrame, n_sigs: int = MINHASH_SIGS) -> DataFrame:
+    """(doc_id, sig_0..sig_{n-1}): min over shingles of seeded md5."""
+    sh = doc_shingles(documents)
+    aggs = [
+        F.min(md5_int_seeded(F.col("shingle"), i)).alias(f"sig_{i}")
+        for i in range(n_sigs)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    n_sigs: int = MINHASH_SIGS,
+    n_bands: int = MINHASH_BANDS,
+    min_est: float = 0.5,
+) -> DataFrame:
+    """(a, b, est_jaccard): pairs sharing >=1 LSH band; est = fraction
+    of agreeing minhash components.
+
+    Scale: band join is an equi-join on (band_idx, band_key) — a
+    candidate doc pair appears once per agreeing band, deduped by the
+    groupBy. No O(n^2) stage.
+    """
+    rows_per_band = n_sigs // n_bands
+    sigs = minhash_signatures(documents, n_sigs)
+    sig_arr = F.array(*[F.col(f"sig_{i}") for i in range(n_sigs)])
+    bands = sigs.select(
+        "doc_id",
+        sig_arr.alias("sig"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band_idx"),
+                        F.concat_ws(
+                            "_",
+                            *[
+                                F.col(f"sig_{bi * rows_per_band + r}").cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("band_key"),
+                    )
+                    for bi in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "sig", "band.band_idx", "band.band_key")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("a"),
+            F.col("b.doc_id").alias("b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["a", "b"])
+    )
+    est = F.round(
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
+        / F.lit(float(MINHASH_SIGS if n_sigs is None else n_sigs)),
+        6,
+    )
+    return cand.select("a", "b", est.alias("est_jaccard")).filter(
+        F.col("est_jaccard") >= min_est
+    )
+
+
+def simhash(documents: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """(doc_id, simhash): tf-weighted sign-sum over token md5 bits."""
+    dterms = (
+        documents.select("doc_id", F.explode(tokens_col("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("h", md5_int(F.col("term")))
+    )
+    bit_sums = dterms.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.col("tf")
+                * (F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1)
+            ).alias(f"s_{j}")
+            for j in range(bits)
+        ]
+    )
+    sim = None
+    for j in range(bits):
+        term = F.when(F.col(f"s_{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return bit_sums.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def simhash_pairs(
+    documents: DataFrame, max_hamming: int = 6, bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """(a, b, hamming) pairs within Hamming distance.
+
+    Scale: block on simhash prefix bytes (pigeonhole: two docs within
+    hamming h share at least one of h+1 equal-width chunks) — here
+    4 chunks of 8 bits for h<=3·, generalized to ceil(bits/(h+1)).
+    """
+    n_chunks = max_hamming + 1
+    chunk_w = bits // n_chunks
+    sims = simhash(documents, bits)
+    chunks = sims.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_idx"),
+                        F.shiftright(F.col("simhash"), c * chunk_w)
+                        .bitwiseAND(F.lit((1 << chunk_w) - 1))
+                        .alias("chunk_val"),
+                    )
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("ch"),
+    ).select("doc_id", "simhash", "ch.chunk_idx", "ch.chunk_val")
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    return (
+        a.join(b, ["chunk_idx", "chunk_val"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("a"),
+            F.col("b.doc_id").alias("b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .dropDuplicates(["a", "b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )

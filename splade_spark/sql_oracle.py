@@ -10,6 +10,7 @@ can't drift from the Spark side.
 from __future__ import annotations
 
 from splade_spark.functions.bm25 import sql_impact
+from splade_spark.functions.hashing import sql_md5_int, sql_md5_int_seeded
 from splade_spark.synth import QID_STRIDE, QUERY_PREFIX_LEN, SQL_TOK
 
 # Common CTE prologue: tokenization, doc lengths, corpus stats,
@@ -160,3 +161,327 @@ PER_QUERY_METRICS_SQL = (
     _run_ctes(10)
     + "SELECT qid, round(rr, 6) AS rr, round(recall, 6) AS recall FROM pq"
 )
+
+
+# ---------------------------------------------------------------------------
+# Dedup family twins (operators/dedup.py)
+# ---------------------------------------------------------------------------
+
+from splade_spark.operators.dedup import (  # noqa: E402
+    MINHASH_BANDS,
+    MINHASH_SIGS,
+    NGRAM_N,
+    SIMHASH_BITS,
+)
+
+EXACT_DEDUP_SQL = """
+SELECT doc_id, md5(text) AS text_hash,
+       min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+       CAST(doc_id != min(doc_id) OVER (PARTITION BY md5(text)) AS INT) AS is_dup
+FROM documents
+"""
+
+def _sh_cte(where: str = "TRUE") -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {SQL_TOK} AS toks FROM documents WHERE {where}
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(
+             generate_series(1, greatest(len(toks) - {NGRAM_N - 1}, 0)),
+             i -> array_to_string(toks[i:i+{NGRAM_N - 1}], ' '))) AS shingle
+  FROM tok
+)
+"""
+
+
+def ngram_jaccard_sql(min_jaccard: float = 0.2, where: str = "TRUE") -> str:
+    return (
+        _sh_cte(where)
+        + f""",
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT s.a, s.b,
+       round(s.shared * 1.0 / (sa.n_sh + sb.n_sh - s.shared), 6) AS jaccard
+FROM shared s
+JOIN sizes sa ON sa.doc_id = s.a
+JOIN sizes sb ON sb.doc_id = s.b
+WHERE round(s.shared * 1.0 / (sa.n_sh + sb.n_sh - s.shared), 6) >= {min_jaccard}
+"""
+    )
+
+
+def _minhash_sig_cte(n_sigs: int = MINHASH_SIGS, where: str = "TRUE") -> str:
+    sig_cols = ",\n         ".join(
+        f"min({sql_md5_int_seeded('shingle', i)}) AS sig_{i}" for i in range(n_sigs)
+    )
+    return (
+        _sh_cte(where)
+        + f""",
+sigs AS (
+  SELECT doc_id,
+         {sig_cols}
+  FROM sh GROUP BY doc_id
+)
+"""
+    )
+
+
+def minhash_signatures_sql(n_sigs: int = MINHASH_SIGS) -> str:
+    cols = ", ".join(f"sig_{i}" for i in range(n_sigs))
+    return _minhash_sig_cte(n_sigs) + f"SELECT doc_id, {cols} FROM sigs"
+
+
+def minhash_lsh_pairs_sql(
+    n_sigs: int = MINHASH_SIGS,
+    n_bands: int = MINHASH_BANDS,
+    min_est: float = 0.5,
+    where: str = "TRUE",
+) -> str:
+    rows_per_band = n_sigs // n_bands
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {bi} AS band_idx, ".format(bi=bi)
+        + " || '_' || ".join(
+            f"CAST(sig_{bi * rows_per_band + r} AS VARCHAR)"
+            for r in range(rows_per_band)
+        )
+        + " AS band_key FROM sigs"
+        for bi in range(n_bands)
+    )
+    agree = " + ".join(
+        f"CASE WHEN sa.sig_{i} = sb.sig_{i} THEN 1 ELSE 0 END" for i in range(n_sigs)
+    )
+    return (
+        _minhash_sig_cte(n_sigs, where)
+        + f""",
+bands AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT c.a, c.b, round(({agree}) / {float(n_sigs)}, 6) AS est_jaccard
+FROM cand c
+JOIN sigs sa ON sa.doc_id = c.a
+JOIN sigs sb ON sb.doc_id = c.b
+WHERE round(({agree}) / {float(n_sigs)}, 6) >= {min_est}
+"""
+    )
+
+
+def simhash_sql(bits: int = SIMHASH_BITS, where: str = "TRUE") -> str:
+    s_cols = ",\n         ".join(
+        f"sum(tf * (((h >> {j}) & 1) * 2 - 1)) AS s_{j}" for j in range(bits)
+    )
+    val = " + ".join(
+        f"CASE WHEN s_{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END"
+        for j in range(bits)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {SQL_TOK} AS toks FROM documents WHERE {where}
+),
+dterms AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM tok)
+  GROUP BY doc_id, term
+),
+hashed AS (SELECT doc_id, tf, {sql_md5_int('term')} AS h FROM dterms),
+bit_sums AS (
+  SELECT doc_id,
+         {s_cols}
+  FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, CAST({val} AS BIGINT) AS simhash FROM bit_sums
+"""
+
+
+def simhash_pairs_sql(
+    max_hamming: int = 6, bits: int = SIMHASH_BITS, where: str = "TRUE"
+) -> str:
+    n_chunks = max_hamming + 1
+    chunk_w = bits // n_chunks
+    chunk_rows = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {c} AS chunk_idx, "
+        f"(simhash >> {c * chunk_w}) & {(1 << chunk_w) - 1} AS chunk_val FROM sims"
+        for c in range(n_chunks)
+    )
+    return (
+        f"WITH sims AS ({simhash_sql(bits, where)}),\n"
+        + f"""chunks AS ({chunk_rows}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a, a.simhash AS ha, b.doc_id AS b, b.simhash AS hb
+  FROM chunks a JOIN chunks b
+    ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id
+)
+SELECT a, b, bit_count(xor(ha, hb)) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= {max_hamming}
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text-analysis twins (functions/textstats.py)
+# ---------------------------------------------------------------------------
+
+from splade_spark.functions.textstats import (  # noqa: E402
+    BPE_RE,
+    FP_MOD,
+    STOPWORDS,
+)
+
+
+def _sql_strlist(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+TOKEN_COUNTS_SQL = f"""
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\\s+')) AS n_ws_tokens,
+       len(regexp_extract_all(lower(text), '{BPE_RE}')) AS n_bpe_tokens,
+       length(text) AS n_chars
+FROM documents
+"""
+
+QUALITY_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, text, {SQL_TOK} AS toks FROM documents
+),
+ratios AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         round(length(regexp_replace(text, '[a-z0-9A-Z\\s]', '', 'g')) * 1.0
+               / greatest(length(text), 1), 6) AS punct_ratio,
+         round(len(list_filter(toks, t -> list_contains({_sql_strlist(STOPWORDS["en"])}, t))) * 1.0
+               / greatest(len(toks), 1), 6) AS stopword_ratio,
+         round(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) * 1.0
+               / greatest(len(toks), 1), 6) AS mean_token_len
+  FROM tok
+)
+SELECT doc_id, n_tokens, punct_ratio, stopword_ratio, mean_token_len,
+       round(1.0 / (1.0 + exp(-(2.0 * stopword_ratio + 0.1 * ln(1.0 + n_tokens)
+                                - 4.0 * punct_ratio))), 6) AS quality
+FROM ratios
+"""
+
+
+def _lang_id_sql() -> str:
+    score_rows = " UNION ALL ".join(
+        f"SELECT doc_id, '{lang}' AS lang, "
+        f"round(len(list_filter(toks, t -> list_contains({_sql_strlist(STOPWORDS[lang])}, t))) * 1.0"
+        f" / greatest(len(toks), 1), 6) AS score FROM tok"
+        for lang in sorted(STOPWORDS)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {SQL_TOK} AS toks FROM documents
+),
+scores AS ({score_rows}),
+best AS (
+  SELECT doc_id, lang, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn
+  FROM scores QUALIFY rn = 1
+)
+SELECT doc_id,
+       CASE WHEN score > 0.0 THEN lang ELSE 'und' END AS lang_pred,
+       score AS lang_score
+FROM best
+"""
+
+
+LANG_ID_SQL = _lang_id_sql()
+
+FINGERPRINTS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, {SQL_TOK} AS toks FROM documents
+),
+posed AS (
+  SELECT doc_id, {sql_md5_int("CAST(i - 1 AS VARCHAR) || ':' || toks[i]")} AS h
+  FROM tok, LATERAL unnest(generate_series(1, len(toks))) t(i)
+)
+SELECT doc_id, bit_xor(h) AS fp_xor, CAST(sum(h) % {FP_MOD} AS BIGINT) AS fp_sum
+FROM posed GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity-search twins (operators/ann.py)
+# ---------------------------------------------------------------------------
+
+from splade_spark.operators.ann import LSH_PLANES  # noqa: E402
+
+_EMB_BASE = """
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+)
+"""
+
+
+def cosine_topk_sql(query_mod: int = 50, k: int = 10) -> str:
+    return (
+        _EMB_BASE
+        + f""",
+qs AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM base WHERE vec_id % {query_mod} = 0),
+pairs AS (
+  SELECT q.q_id, b.vec_id,
+         round(list_dot_product(q.qe, b.e) / (q.qn * b.nrm), 6) AS cos
+  FROM base b, qs q WHERE b.vec_id != q.q_id
+)
+SELECT q_id, vec_id, cos,
+       CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank
+FROM pairs QUALIFY rank <= {k}
+"""
+    )
+
+
+def embedding_dup_pairs_sql(min_cos: float = 0.9, sample_mod: int = 1) -> str:
+    return (
+        _EMB_BASE
+        + f"""
+SELECT a.vec_id AS a, b.vec_id AS b,
+       round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS cos
+FROM base a, base b
+WHERE a.vec_id < b.vec_id
+  AND a.vec_id % {sample_mod} = 0 AND b.vec_id % {sample_mod} = 0
+  AND round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) >= {min_cos}
+"""
+    )
+
+
+def _hp_list(plane: int, dim: int) -> str:
+    seed = sql_md5_int(f"'{plane}_' || CAST(d AS VARCHAR)")
+    return (
+        f"list_transform(generate_series(1, {dim}), d -> "
+        f"{seed} / {float(1 << 31)} - 1.0)"
+    )
+
+
+def lsh_topk_sql(
+    dim: int, query_mod: int = 50, k: int = 10, n_planes: int = LSH_PLANES
+) -> str:
+    bucket = " + ".join(
+        f"CASE WHEN list_dot_product(e, {_hp_list(p, dim)}) > 0 THEN {1 << p} ELSE 0 END"
+        for p in range(n_planes)
+    )
+    return (
+        _EMB_BASE
+        + f""",
+sigs AS (SELECT vec_id, e, nrm, ({bucket}) AS bucket FROM base),
+qs AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn, bucket AS qb FROM sigs WHERE vec_id % {query_mod} = 0),
+pairs AS (
+  SELECT q.q_id, s.vec_id,
+         round(list_dot_product(q.qe, s.e) / (q.qn * s.nrm), 6) AS cos
+  FROM sigs s, qs q WHERE s.bucket = q.qb AND s.vec_id != q.q_id
+)
+SELECT q_id, vec_id, cos,
+       CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank
+FROM pairs QUALIFY rank <= {k}
+"""
+    )
