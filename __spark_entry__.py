@@ -23,10 +23,10 @@ from splade_spark.functions.multimodal import (
     sample_frames,
 )
 from splade_spark.functions.tokenize import doc_terms, tokenize_docs
-from splade_spark.operators import ann, dedup
+from splade_spark.operators import ann, dedup, mining
 from splade_spark.operators.metrics import mrr_at_k, per_query_metrics, recall_at_k
 from splade_spark.operators.retrieval import query_terms
-from splade_spark.sources.pages import load_documents, load_table
+from splade_spark.sources.pages import compose_doc_text, load_documents, load_table
 from splade_spark.synth import derive_qrels, derive_queries
 
 PAIR_SAMPLE_MOD = 5  # subsample for quadratic candidate-pair ops
@@ -179,8 +179,34 @@ def q_multimodal_frames(spark, sf_dir):
     return sample_frames(media).select("media_id", "frame_idx", "offset_s", "frame_hash")
 
 
+def q_mine_pairs(spark, sf_dir):
+    run, qrels = _run_and_qrels(spark, sf_dir)
+    return mining.mine_pairs(run, qrels, top_n=100)
+
+
+def q_hard_negatives(spark, sf_dir):
+    run, qrels = _run_and_qrels(spark, sf_dir)
+    return mining.hard_negatives(run, qrels, top_n=100)
+
+
+def q_quantized_vectors(spark, sf_dir):
+    post = logical_postings(load_documents(spark, sf_dir))
+    q = F.least(F.round(F.col("impact") * 100), F.lit(255)).cast("int")
+    return post.select("doc_id", "term", q.alias("impact_q")).filter(
+        q > 0
+    )
+
+
+def q_composed_text(spark, sf_dir):
+    return compose_doc_text(load_documents(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "mine_pairs": q_mine_pairs,
+        "hard_negatives": q_hard_negatives,
+        "quantized_vectors": q_quantized_vectors,
+        "composed_text": q_composed_text,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard_pairs": q_ngram_jaccard,
         "minhash_signatures": q_minhash_signatures,
@@ -210,6 +236,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "mine_pairs": sql_oracle.mine_pairs_sql(k=TOPK_K, top_n=100),
+        "hard_negatives": sql_oracle.hard_negatives_sql(k=TOPK_K, top_n=100),
+        "quantized_vectors": sql_oracle.quantized_vectors_sql(100),
+        "composed_text": sql_oracle.COMPOSED_TEXT_SQL,
         "exact_dedup": sql_oracle.EXACT_DEDUP_SQL,
         "ngram_jaccard_pairs": sql_oracle.ngram_jaccard_sql(min_jaccard=0.1),
         "minhash_signatures": sql_oracle.minhash_signatures_sql(),

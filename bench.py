@@ -56,7 +56,27 @@ def main() -> None:
         lambda: force(bm25_run(load_documents(spark, SF_DIR), k=1000)),
     )
 
+    # materialized path: compressed-index build + pruned search
+    import shutil
+    import tempfile
+
+    from splade_spark.operators.index_build import build_index
+    from splade_spark.operators.maxscore import search_maxscore
+    from splade_spark.synth import derive_queries
+
+    idx_dir = tempfile.mkdtemp(prefix="bench_idx_")
+    docs = load_documents(spark, SF_DIR).select("doc_id", "text")
+    n_docs = docs.count()
+    timed("index_build", lambda: build_index(docs, idx_dir, n_segments=4))
+    qs = derive_queries(load_documents(spark, SF_DIR)).orderBy("qid").limit(32)
+    timed(
+        "index_search_maxscore_k1000",
+        lambda: force(search_maxscore(spark, idx_dir, qs, k=1000)),
+    )
+    shutil.rmtree(idx_dir, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
+    extra = {"index_docs_per_sec": round(n_docs / timings["index_build"], 1)}
     print(
         json.dumps(
             {
@@ -66,6 +86,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "cpus": CPUS,
+                **extra,
             }
         )
     )

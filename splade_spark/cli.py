@@ -1,0 +1,130 @@
+"""spark-submit entry point.
+
+Usage (cluster):
+  spark-submit --py-files splade_spark.zip -m splade_spark.cli index \\
+      --input /data/pages --index-dir /data/idx --segments 64
+  spark-submit ... query --index-dir /data/idx --queries q.tsv --k 1000
+  python -m splade_spark.cli bench --sf-dir /root/testdata/sf0.1
+
+Local mode builds its own session (session.get_spark); under
+spark-submit the active session is reused.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+from pyspark.sql import SparkSession
+
+
+def _spark(args) -> SparkSession:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
+    from splade_spark.session import get_spark
+
+    return get_spark(app=f"splade-{args.cmd}", cores=getattr(args, "cores", None))
+
+
+def cmd_index(args) -> None:
+    from splade_spark.operators.index_build import build_index
+    from splade_spark.sources.pages import load_table
+
+    spark = _spark(args)
+    if args.input.endswith(".parquet"):
+        docs = spark.read.parquet(args.input)
+    else:
+        docs = load_table(spark, args.input, args.table)
+    t0 = time.time()
+    man = build_index(
+        docs.select("doc_id", "text"),
+        args.index_dir,
+        n_segments=args.segments,
+        n_buckets=args.buckets,
+    )
+    wall = time.time() - t0
+    n_docs = docs.count()
+    print(
+        json.dumps(
+            {
+                "cmd": "index",
+                "docs": n_docs,
+                "wall_sec": round(wall, 3),
+                "docs_per_sec": round(n_docs / wall, 1),
+                "snapshots": len(man.snapshots),
+            }
+        )
+    )
+
+
+def cmd_query(args) -> None:
+    from splade_spark.operators.index_query import search
+    from splade_spark.operators.maxscore import search_maxscore
+    from splade_spark.sources.pages import read_tsv_queries
+    from splade_spark.sources.sinks import write_trec_run
+
+    spark = _spark(args)
+    if args.queries.endswith(".tsv"):
+        queries = read_tsv_queries(spark, args.queries)
+    else:
+        queries = spark.read.parquet(args.queries)
+    fn = search_maxscore if args.prune else search
+    t0 = time.time()
+    run = fn(spark, args.index_dir, queries, k=args.k)
+    if args.out:
+        write_trec_run(run, args.out)
+        n = spark.read.text(args.out).count()
+    else:
+        n = run.count()
+    print(
+        json.dumps(
+            {"cmd": "query", "rows": n, "wall_sec": round(time.time() - t0, 3)}
+        )
+    )
+
+
+def cmd_bench(args) -> None:
+    import os
+
+    os.environ["SPARK_GRAFT_SF_DIR"] = args.sf_dir
+    if args.cores:
+        os.environ["SPARK_GRAFT_CPUS"] = str(args.cores)
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import bench
+
+    bench.main()
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(prog="splade_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pi = sub.add_parser("index")
+    pi.add_argument("--input", required=True, help="parquet path or sf dir")
+    pi.add_argument("--table", default="documents")
+    pi.add_argument("--index-dir", required=True)
+    pi.add_argument("--segments", type=int, default=4)
+    pi.add_argument("--buckets", type=int, default=32)
+    pi.add_argument("--cores", type=int)
+
+    pq = sub.add_parser("query")
+    pq.add_argument("--index-dir", required=True)
+    pq.add_argument("--queries", required=True, help="tsv (qid\\ttext) or parquet")
+    pq.add_argument("--k", type=int, default=1000)
+    pq.add_argument("--prune", action="store_true", help="MaxScore pruning")
+    pq.add_argument("--out", help="TREC run output dir")
+    pq.add_argument("--cores", type=int)
+
+    pb = sub.add_parser("bench")
+    pb.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    pb.add_argument("--cores", type=int)
+
+    args = p.parse_args(argv)
+    {"index": cmd_index, "query": cmd_query, "bench": cmd_bench}[args.cmd](args)
+
+
+if __name__ == "__main__":
+    main()

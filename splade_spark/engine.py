@@ -10,19 +10,34 @@ for equivalence against this one.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from splade_spark import TOPK_DEFAULT
 from splade_spark.functions.bm25 import weighted_postings
-from splade_spark.functions.tokenize import doc_terms, tokenize_docs
+from splade_spark.functions.tokenize import tokenize_docs
 from splade_spark.operators.retrieval import query_terms, score_postings
 from splade_spark.sources.pages import load_documents
 from splade_spark.synth import derive_queries
 
 
-def logical_postings(documents: DataFrame) -> DataFrame:
-    """(term, doc_id, tf, dl, df, impact) from a documents table."""
-    dterms = doc_terms(documents)
-    dls = tokenize_docs(documents).select("doc_id", "dl")
+def logical_postings(documents: DataFrame, cache: bool = True) -> DataFrame:
+    """(term, doc_id, tf, dl, df, impact) from a documents table.
+
+    The exploded (doc, term) relation feeds three consumers (stats,
+    document frequencies, the postings themselves); caching the single
+    tokenize pass collapses what would otherwise be repeated scans +
+    explodes of the corpus (at production scale this relation is a
+    materialized segment table instead — operators/index_build.py).
+    """
+    tok = tokenize_docs(documents)
+    if cache:
+        tok = tok.persist()
+    dterms = (
+        tok.select("doc_id", "dl", F.explode("tokens").alias("term"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dls = tok.select("doc_id", "dl")
     return weighted_postings(dterms, dls)
 
 

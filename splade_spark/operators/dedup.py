@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from splade_spark.functions.hashing import md5_int, md5_int_seeded
+from splade_spark.functions.hashing import md5_int
 from splade_spark.functions.tokenize import tokens_col
 
 NGRAM_N = 3
@@ -94,12 +94,30 @@ def ngram_jaccard_pairs(
     )
 
 
+MINHASH_P = (1 << 61) - 1
+
+
+def minhash_coeffs(n_sigs: int = MINHASH_SIGS) -> list[tuple[int, int]]:
+    """Deterministic universal-hash coefficients (a_i 30-bit so
+    a*h stays under 2^62 — no bigint overflow in either engine)."""
+    from splade_spark.functions.hashing import py_md5_int
+
+    return [
+        (py_md5_int(f"a{i}") >> 2 | 1, py_md5_int(f"b{i}")) for i in range(n_sigs)
+    ]
+
+
 def minhash_signatures(documents: DataFrame, n_sigs: int = MINHASH_SIGS) -> DataFrame:
-    """(doc_id, sig_0..sig_{n-1}): min over shingles of seeded md5."""
-    sh = doc_shingles(documents)
+    """(doc_id, sig_0..sig_{n-1}): min over shingles of n universal
+    hashes (a_i*md5(shingle)+b_i mod P) — ONE md5 per shingle, the
+    16 signature functions are cheap linear mixes (16x less hashing
+    than seeded-md5-per-signature; identical SQL twin)."""
+    sh = doc_shingles(documents).withColumn("h", md5_int(F.col("shingle")))
     aggs = [
-        F.min(md5_int_seeded(F.col("shingle"), i)).alias(f"sig_{i}")
-        for i in range(n_sigs)
+        F.min(
+            F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(MINHASH_P))
+        ).alias(f"sig_{i}")
+        for i, (a, b) in enumerate(minhash_coeffs(n_sigs))
     ]
     return sh.groupBy("doc_id").agg(*aggs)
 

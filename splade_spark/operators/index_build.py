@@ -26,20 +26,18 @@ first_doc_id + in-block gaps) so salted groups need no post-merge.
 from __future__ import annotations
 
 import json
-import math
 import os
 import time
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from splade_spark import schema as S
 from splade_spark.functions.bm25 import impact_col
 from splade_spark.functions.codec import BLOCK_SIZE, encode_posting_blocks
-from splade_spark.functions.tokenize import doc_terms, tokenize_docs
+from splade_spark.functions.tokenize import tokenize_docs
 from splade_spark.plans.snapshots import Manifest, dir_bytes
 
 DEFAULT_SEGMENTS = 4
@@ -48,34 +46,68 @@ DEFAULT_SALT_UNIT = 1 << 16  # max postings per encoder group
 _BLOCK_ID_STRIDE = 1 << 24  # block_id = salt * stride + seq
 
 
+def build_segment(
+    documents: DataFrame, index_dir: str, seg: int, n_segments: int
+) -> dict:
+    """Build one segment: single tokenize pass (cached), explode/agg
+    terms + doc lens, both written as the segment's parquet."""
+    spark = documents.sparkSession
+    seg_docs = documents.filter(F.pmod("doc_id", F.lit(n_segments)) == seg)
+    seg_dir = os.path.join(index_dir, "segments", f"seg={seg}")
+    tok = tokenize_docs(seg_docs).persist()
+    try:
+        terms = (
+            tok.select("doc_id", "dl", F.explode("tokens").alias("term"))
+            .groupBy("doc_id", "dl", "term")
+            .agg(F.count("*").alias("tf"))
+            .select("term", "doc_id", "tf", "dl")
+        )
+        terms.write.mode("overwrite").parquet(os.path.join(seg_dir, "terms"))
+        tok.select("doc_id", "dl").write.mode("overwrite").parquet(
+            os.path.join(seg_dir, "docs")
+        )
+        n_rows = spark.read.parquet(os.path.join(seg_dir, "docs")).count()
+    finally:
+        tok.unpersist()
+    return {"rows": n_rows, "bytes": dir_bytes(seg_dir), "seg": seg}
+
+
 def build_segments(
     documents: DataFrame,
     index_dir: str,
     n_segments: int = DEFAULT_SEGMENTS,
+    max_concurrent: int = 4,
 ) -> Manifest:
-    """Stage A. ``documents``: (doc_id long, text string [, url])."""
+    """Stage A. ``documents``: (doc_id long, text string [, url]).
+
+    Segments run as CONCURRENT Spark jobs (thread pool — the local
+    analog of independent cluster jobs); each commits its manifest
+    snapshot on completion, so kill/resume granularity is unchanged.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+    from threading import Lock
+
     man = Manifest.load(index_dir)
     done = man.committed("segment")
-    for seg in range(n_segments):
-        key = f"seg={seg}"
-        if key in done:
-            continue
+    todo = [s for s in range(n_segments) if f"seg={s}" not in done]
+    lock = Lock()
+
+    def run(seg: int) -> None:
         t0 = time.time()
-        seg_docs = documents.filter(F.pmod("doc_id", F.lit(n_segments)) == seg)
-        terms = doc_terms(seg_docs).select("term", "doc_id", "tf", "dl")
-        seg_dir = os.path.join(index_dir, "segments", key)
-        terms.write.mode("overwrite").parquet(os.path.join(seg_dir, "terms"))
-        lens = tokenize_docs(seg_docs).select("doc_id", "dl")
-        lens.write.mode("overwrite").parquet(os.path.join(seg_dir, "docs"))
-        n_rows = seg_docs.count()
-        man.commit(
-            "segment",
-            key,
-            rows=n_rows,
-            bytes_=dir_bytes(seg_dir),
-            wall_ms=int((time.time() - t0) * 1000),
-            partition_id=seg,
-        )
+        res = build_segment(documents, index_dir, seg, n_segments)
+        with lock:
+            man.commit(
+                "segment",
+                f"seg={seg}",
+                rows=res["rows"],
+                bytes_=res["bytes"],
+                wall_ms=int((time.time() - t0) * 1000),
+                partition_id=seg,
+            )
+
+    if todo:
+        with ThreadPoolExecutor(max_workers=max_concurrent) as ex:
+            list(ex.map(run, todo))
     return man
 
 

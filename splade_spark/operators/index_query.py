@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from splade_spark import SCORE_THRESHOLD, TOPK_DEFAULT
-from splade_spark.functions.codec import decode_block
+from splade_spark.functions.codec import vbyte_decode
 from splade_spark.operators.retrieval import query_terms, topk_window
 
 
@@ -44,25 +44,57 @@ def load_postings(spark: SparkSession, index_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(index_dir, "postings"))
 
 
-def _decode_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def decode_blocks_vectorized(
+    first_ids: np.ndarray, ns: np.ndarray, gap_bytes: list, impact_bytes: list
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode MANY blocks in one vectorized pass. VByte values never
+    cross block boundaries, so the concatenated byte stream decodes as
+    one sequence; doc ids come from a segmented cumsum of the gaps."""
+    n_total = int(ns.sum())
+    gaps = vbyte_decode(b"".join(gap_bytes), n_total).astype(np.int64)
+    ends = np.cumsum(ns)
+    starts = ends - ns
+    g = np.cumsum(gaps)
+    seg_base = np.repeat(g[starts] - gaps[starts], ns)
+    doc_ids = np.repeat(first_ids, ns) + (g - seg_base)
+    impacts = np.frombuffer(b"".join(impact_bytes), dtype=np.float64)
+    return doc_ids, impacts
+
+
+DECODED_SCHEMA = "term_id int, block_id int, doc_id long, impact double"
+_BLOCK_COLS = ["term_id", "block_id", "first_doc_id", "n", "doc_gap_bytes", "impact_bytes"]
+
+
+def _decode_postings(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batch block decode -> (term_id, block_id, doc_id, impact).
+
+    Each block is decoded ONCE regardless of how many queries touch
+    its term; the query fan-out happens afterwards as a JVM-side
+    broadcast join (codegen), not in Python."""
     for pdf in batches:
         if len(pdf) == 0:
             continue
-        qids, docs, partials = [], [], []
-        for row in pdf.itertuples(index=False):
-            doc_ids, impacts = decode_block(
-                row.first_doc_id, row.n, row.doc_gap_bytes, row.impact_bytes
-            )
-            qids.append(np.full(row.n, row.qid, dtype=np.int64))
-            docs.append(doc_ids)
-            partials.append(row.q_tf * impacts)
+        ns = pdf["n"].to_numpy(dtype=np.int64)
+        doc_ids, impacts = decode_blocks_vectorized(
+            pdf["first_doc_id"].to_numpy(dtype=np.int64),
+            ns,
+            list(pdf["doc_gap_bytes"]),
+            list(pdf["impact_bytes"]),
+        )
         yield pd.DataFrame(
             {
-                "qid": np.concatenate(qids),
-                "doc_id": np.concatenate(docs),
-                "partial": np.concatenate(partials),
+                "term_id": np.repeat(pdf["term_id"].to_numpy(dtype=np.int32), ns),
+                "block_id": np.repeat(pdf["block_id"].to_numpy(dtype=np.int32), ns),
+                "doc_id": doc_ids,
+                "impact": impacts,
             }
         )
+
+
+def decode_blocks_df(blocks: DataFrame) -> DataFrame:
+    return blocks.select(*_BLOCK_COLS).mapInPandas(
+        _decode_postings, schema=DECODED_SCHEMA
+    )
 
 
 def search(
@@ -89,14 +121,13 @@ def search(
         {int(r.term_id) % (n_buckets + 1) for r in qt.select("term_id").distinct().collect()}
     )
     pruned = postings.filter(F.col("bucket").isin(buckets)).join(
-        F.broadcast(qt), "term_id"
+        F.broadcast(qt.select("term_id").distinct()), "term_id", "left_semi"
     )
-    partials = pruned.select(
-        "qid", "q_tf", "first_doc_id", "n", "doc_gap_bytes", "impact_bytes"
-    ).mapInPandas(_decode_partials, schema="qid long, doc_id long, partial double")
+    decoded = decode_blocks_df(pruned)
     scored = (
-        partials.groupBy("qid", "doc_id")
-        .agg(F.round(F.sum("partial"), 6).alias("score"))
+        decoded.join(F.broadcast(qt), "term_id")
+        .groupBy("qid", "doc_id")
+        .agg(F.round(F.sum(F.col("q_tf") * F.col("impact")), 6).alias("score"))
         .filter(F.col("score") > F.lit(threshold))
     )
     return topk_window(scored, k)

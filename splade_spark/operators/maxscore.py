@@ -33,13 +33,11 @@ from pyspark.sql import functions as F
 
 from splade_spark import SCORE_THRESHOLD, TOPK_DEFAULT
 from splade_spark.operators.index_query import (
-    _decode_partials,
+    decode_blocks_df,
     load_postings,
     load_term_dict,
 )
 from splade_spark.operators.retrieval import query_terms, topk_window
-
-_DECODE_COLS = ["qid", "q_tf", "first_doc_id", "n", "doc_gap_bytes", "impact_bytes"]
 
 
 def search_maxscore(
@@ -70,22 +68,27 @@ def search_maxscore(
     buckets = sorted(
         {int(r.term_id) % n_buckets for r in qt.select("term_id").distinct().collect()}
     )
-    cand_blocks = postings.filter(F.col("bucket").isin(buckets)).join(
-        F.broadcast(qt), "term_id"
+    blocks = postings.filter(F.col("bucket").isin(buckets)).join(
+        F.broadcast(qt.select("term_id").distinct()), "term_id", "left_semi"
     )
+    # per-(query, block) metadata — no bytes, no decode
+    blocks_meta = blocks.select(
+        "term_id", "block_id", "first_doc_id", "last_doc_id", "block_max"
+    ).join(F.broadcast(qt), "term_id")
 
     # ---- pass 1: champion-term floor ----------------------------------
     champ_w = Window.partitionBy("qid").orderBy(F.desc("ub"), F.asc("term_id"))
     champions = (
         qt.withColumn("rn", F.row_number().over(champ_w)).filter("rn = 1").drop("rn")
     )
-    champ_partials = (
-        cand_blocks.join(
-            F.broadcast(champions.select("qid", "term_id")), ["qid", "term_id"]
+    champ_decoded = decode_blocks_df(
+        blocks.join(
+            F.broadcast(champions.select("term_id").distinct()), "term_id", "left_semi"
         )
-        .select(*_DECODE_COLS)
-        .mapInPandas(_decode_partials, schema="qid long, doc_id long, partial double")
     )
+    champ_partials = champ_decoded.join(
+        F.broadcast(champions.select("qid", "term_id", "q_tf")), "term_id"
+    ).select("qid", "doc_id", (F.col("q_tf") * F.col("impact")).alias("partial"))
     kth_w = Window.partitionBy("qid").orderBy(F.desc("partial"), F.asc("doc_id"))
     candidates = (
         champ_partials.withColumn("rn", F.row_number().over(kth_w))
@@ -94,31 +97,38 @@ def search_maxscore(
     )
     # exact-score the candidates: decode only blocks whose doc range
     # covers a candidate doc (broadcast NLJ on the tiny candidate set)
-    cand_cover = cand_blocks.alias("b").join(
+    cover_pairs = blocks_meta.alias("b").join(
         F.broadcast(candidates).alias("c"),
         (F.col("b.qid") == F.col("c.qid"))
         & (F.col("c.doc_id") >= F.col("b.first_doc_id"))
         & (F.col("c.doc_id") <= F.col("b.last_doc_id")),
+    )
+    cover_blocks = blocks.join(
+        cover_pairs.select("term_id", "block_id").distinct(),
+        ["term_id", "block_id"],
         "left_semi",
     )
     cand_scores = (
-        cand_cover.select(*_DECODE_COLS)
-        .mapInPandas(_decode_partials, schema="qid long, doc_id long, partial double")
-        .join(F.broadcast(candidates), ["qid", "doc_id"])
+        decode_blocks_df(cover_blocks)
+        .join(F.broadcast(candidates), "doc_id")
+        .join(F.broadcast(qt.select("qid", "term_id", "q_tf")), ["qid", "term_id"])
         .groupBy("qid", "doc_id")
-        .agg(F.sum("partial").alias("exact"))
+        .agg(F.sum(F.col("q_tf") * F.col("impact")).alias("exact"))
     )
     floors = (
         cand_scores.groupBy("qid")
-        .agg(F.count("*").alias("m"), F.sort_array(F.collect_list("exact"), False).alias("xs"))
+        .agg(
+            F.count("*").alias("m"),
+            F.sort_array(F.collect_list("exact"), False).alias("xs"),
+        )
         .filter(F.col("m") >= k)
         .select("qid", F.element_at("xs", k).alias("theta"))
     )
 
     # ---- pass 2: block prune + exact scoring --------------------------
     total_ub = qt.groupBy("qid").agg(F.sum("ub").alias("total_ub"))
-    pruned = (
-        cand_blocks.join(F.broadcast(total_ub), "qid")
+    retained_pairs = (
+        blocks_meta.join(F.broadcast(total_ub), "qid")
         .join(F.broadcast(floors), "qid", "left")
         .withColumn("theta", F.coalesce(F.col("theta"), F.lit(threshold)))
         .withColumn(
@@ -126,17 +136,22 @@ def search_maxscore(
             F.col("total_ub") - F.col("ub") + F.col("q_tf") * F.col("block_max"),
         )
         .filter(F.col("block_ub") >= F.col("theta"))
+        .select("qid", "term_id", "block_id", "q_tf")
     )
     if debug_counts is not None:
-        debug_counts["blocks_total"] = cand_blocks.count()
-        debug_counts["blocks_kept"] = pruned.count()
+        debug_counts["blocks_total"] = blocks_meta.count()
+        debug_counts["blocks_kept"] = retained_pairs.count()
 
-    partials = pruned.select(*_DECODE_COLS).mapInPandas(
-        _decode_partials, schema="qid long, doc_id long, partial double"
+    retained_blocks = blocks.join(
+        retained_pairs.select("term_id", "block_id").distinct(),
+        ["term_id", "block_id"],
+        "left_semi",
     )
     scored = (
-        partials.groupBy("qid", "doc_id")
-        .agg(F.round(F.sum("partial"), 6).alias("score"))
+        decode_blocks_df(retained_blocks)
+        .join(retained_pairs, ["term_id", "block_id"])
+        .groupBy("qid", "doc_id")
+        .agg(F.round(F.sum(F.col("q_tf") * F.col("impact")), 6).alias("score"))
         .filter(F.col("score") > F.lit(threshold))
     )
     return topk_window(scored, k)

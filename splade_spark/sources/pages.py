@@ -56,6 +56,17 @@ def extract_text(pages: DataFrame) -> DataFrame:
     return pages.select("url", "text", "lang")
 
 
+def compose_doc_text(documents: DataFrame, title_col: str = "source") -> DataFrame:
+    """Doc-text composition parity: ``"title: {t} | context: {x}"``
+    (reference get_doc_text, indexing.py:23-27)."""
+    return documents.select(
+        "doc_id",
+        F.concat(
+            F.lit("title: "), F.col(title_col), F.lit(" | context: "), F.col("text")
+        ).alias("composed"),
+    )
+
+
 def read_tsv_corpus(spark: SparkSession, path: str) -> DataFrame:
     """TSV parity with read_msmarco_corpus (indexing.py:7-13):
     ``pid \t text`` lines -> (url, text)."""

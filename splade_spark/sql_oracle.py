@@ -217,16 +217,20 @@ WHERE round(s.shared * 1.0 / (sa.n_sh + sb.n_sh - s.shared), 6) >= {min_jaccard}
 
 
 def _minhash_sig_cte(n_sigs: int = MINHASH_SIGS, where: str = "TRUE") -> str:
+    from splade_spark.operators.dedup import MINHASH_P, minhash_coeffs
+
     sig_cols = ",\n         ".join(
-        f"min({sql_md5_int_seeded('shingle', i)}) AS sig_{i}" for i in range(n_sigs)
+        f"min(({a} * h + {b}) % {MINHASH_P}) AS sig_{i}"
+        for i, (a, b) in enumerate(minhash_coeffs(n_sigs))
     )
     return (
         _sh_cte(where)
         + f""",
+shh AS (SELECT doc_id, {sql_md5_int('shingle')} AS h FROM sh),
 sigs AS (
   SELECT doc_id,
          {sig_cols}
-  FROM sh GROUP BY doc_id
+  FROM shh GROUP BY doc_id
 )
 """
     )
@@ -485,3 +489,51 @@ SELECT q_id, vec_id, cos,
 FROM pairs QUALIFY rank <= {k}
 """
     )
+
+
+# ---------------------------------------------------------------------------
+# Mining + export twins (operators/mining.py, reference export shapes)
+# ---------------------------------------------------------------------------
+
+
+def mine_pairs_sql(k: int = 10, top_n: int = 100) -> str:
+    return (
+        _run_ctes(k)
+        + f"""
+SELECT r.qid, r.doc_id, r.rank, r.score,
+       CASE WHEN q.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_pos
+FROM run r LEFT JOIN qrels q ON r.qid = q.qid AND r.doc_id = q.doc_id
+WHERE r.rank <= {top_n}
+"""
+    )
+
+
+def hard_negatives_sql(k: int = 10, top_n: int = 100) -> str:
+    return (
+        _run_ctes(k)
+        + f"""
+SELECT r.qid, r.doc_id, r.rank, r.score
+FROM run r ANTI JOIN qrels q ON r.qid = q.qid AND r.doc_id = q.doc_id
+WHERE r.rank <= {top_n}
+"""
+    )
+
+
+def quantized_vectors_sql(scale: int = 100) -> str:
+    """Reference export quantization int(w*scale) clipped to [0,255]
+    (pisa_inference/inference_SPLADE.py:70, ...doc_bmp.py:78)."""
+    return (
+        BM25_CTES
+        + f"""
+SELECT doc_id, term,
+       CAST(least(round(impact * {scale}), 255) AS INTEGER) AS impact_q
+FROM post
+WHERE CAST(least(round(impact * {scale}), 255) AS INTEGER) > 0
+"""
+    )
+
+
+COMPOSED_TEXT_SQL = """
+SELECT doc_id, 'title: ' || source || ' | context: ' || text AS composed
+FROM documents
+"""

@@ -1,0 +1,88 @@
+"""Incremental index segments via Structured Streaming.
+
+The reference is strictly batch (SLURM array jobs,
+pisa_inference/launch.sh:11-16); the north rule's resumable DAG is
+met with snapshot commits. This module is the streaming extension:
+``readStream`` over a pages/documents directory, ``foreachBatch``
+running the SAME per-segment build as the batch path (one segment
+per epoch, committed to the same manifest), ``availableNow`` trigger
+so a scheduled run drains new files and stops. ``finalize_index``
+then merges all segments exactly as in batch — so batch-built and
+stream-built indexes are byte-compatible.
+
+Also provides a windowed ingest-stats stream (watermark + tumbling
+window over warc_ts) as the monitoring analog of the reference's
+running stat prints (task/evaluator.py:112-113).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from splade_spark.functions.tokenize import doc_terms, tokenize_docs
+from splade_spark.plans.snapshots import Manifest, dir_bytes
+
+
+def stream_build_segments(
+    spark: SparkSession,
+    input_dir: str,
+    index_dir: str,
+    schema: str = "doc_id long, text string",
+    max_files_per_trigger: int | None = None,
+) -> int:
+    """Drain available input files into per-epoch segments; returns
+    number of segments committed. Resumable two ways: Spark streaming
+    checkpoint (offsets) + manifest snapshots (segment commits)."""
+    reader = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger or 1)
+        .parquet(input_dir)
+    )
+    committed = {"n": 0}
+
+    def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        man = Manifest.load(index_dir)
+        key = f"stream-epoch={epoch_id}"
+        if key in man.committed("segment"):
+            return  # exactly-once vs foreachBatch replay
+        t0 = time.time()
+        seg_dir = os.path.join(index_dir, "segments", key)
+        terms = doc_terms(batch_df).select("term", "doc_id", "tf", "dl")
+        terms.write.mode("overwrite").parquet(os.path.join(seg_dir, "terms"))
+        lens = tokenize_docs(batch_df).select("doc_id", "dl")
+        lens.write.mode("overwrite").parquet(os.path.join(seg_dir, "docs"))
+        man.commit(
+            "segment",
+            key,
+            rows=batch_df.count(),
+            bytes_=dir_bytes(seg_dir),
+            wall_ms=int((time.time() - t0) * 1000),
+            partition_id=int(epoch_id),
+        )
+        committed["n"] += 1
+
+    q = (
+        reader.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", os.path.join(index_dir, "_stream_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return committed["n"]
+
+
+def ingest_stats_stream(pages_stream: DataFrame) -> DataFrame:
+    """Windowed ingest monitoring: docs + avg length per 1-minute
+    warc_ts window, late data bounded by a 5-minute watermark."""
+    return (
+        pages_stream.withWatermark("warc_ts", "5 minutes")
+        .groupBy(F.window("warc_ts", "1 minute"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.avg(F.length("text")).alias("avg_chars"),
+        )
+    )

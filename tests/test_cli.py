@@ -1,0 +1,48 @@
+from __future__ import annotations
+
+import json
+
+
+def test_cli_index_and_query(spark, tmp_path, capsys):
+    # reuse the shared session (cli picks up the active one)
+    from splade_spark import cli
+
+    idx = str(tmp_path / "idx")
+    cli.main(
+        [
+            "index",
+            "--input",
+            "/root/testdata/sf0.001",
+            "--index-dir",
+            idx,
+            "--segments",
+            "2",
+        ]
+    )
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["docs"] == 500 and out["docs_per_sec"] > 0
+
+    qtsv = tmp_path / "q.tsv"
+    qtsv.write_text("1\tthe fast key\n2\tspark table\n")
+    run_dir = str(tmp_path / "run")
+    cli.main(
+        [
+            "query",
+            "--index-dir",
+            idx,
+            "--queries",
+            str(qtsv),
+            "--k",
+            "5",
+            "--prune",
+            "--out",
+            run_dir,
+        ]
+    )
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] == 10  # 2 queries x k=5
+    lines = [
+        line
+        for line in spark.read.text(run_dir).toPandas().value
+    ]
+    assert all(len(line.split(" ")) == 6 for line in lines)

@@ -1,0 +1,77 @@
+"""Stream-built index == batch-built index; windowed ingest stats."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from splade_spark.operators.index_build import build_index, finalize_index
+from splade_spark.operators.index_query import search
+from splade_spark.sources.pages import documents_to_pages, load_documents
+from splade_spark.streaming.incremental import (
+    ingest_stats_stream,
+    stream_build_segments,
+)
+from splade_spark.synth import derive_queries
+
+from tests.conftest import SF_SMOKE
+
+
+def test_stream_build_matches_batch(spark, tmp_path):
+    docs = load_documents(spark, SF_SMOKE).select("doc_id", "text")
+    in_dir = str(tmp_path / "incoming")
+    # two arrival waves -> two stream files
+    docs.filter("doc_id % 2 = 0").coalesce(1).write.parquet(in_dir + "/w1")
+    docs.filter("doc_id % 2 = 1").coalesce(1).write.parquet(in_dir + "/w2")
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    for w in ("w1", "w2"):
+        for f in os.listdir(f"{in_dir}/{w}"):
+            if f.endswith(".parquet"):
+                os.link(f"{in_dir}/{w}/{f}", f"{flat}/{w}_{f}")
+
+    stream_idx = str(tmp_path / "stream_idx")
+    n_segs = stream_build_segments(spark, flat, stream_idx)
+    assert n_segs >= 1
+    finalize_index(spark, stream_idx, n_buckets=8)
+
+    batch_idx = str(tmp_path / "batch_idx")
+    build_index(docs, batch_idx, n_segments=2, n_buckets=8)
+
+    queries = derive_queries(load_documents(spark, SF_SMOKE))
+    a = (
+        search(spark, stream_idx, queries, k=10)
+        .toPandas()
+        .sort_values(["qid", "rank"])
+        .reset_index(drop=True)
+    )
+    b = (
+        search(spark, batch_idx, queries, k=10)
+        .toPandas()
+        .sort_values(["qid", "rank"])
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+
+    # resumability: re-running the drained stream commits nothing new
+    assert stream_build_segments(spark, flat, stream_idx) == 0
+
+
+def test_ingest_stats_stream(spark, tmp_path):
+    pages = documents_to_pages(load_documents(spark, SF_SMOKE))
+    src = str(tmp_path / "pages_src")
+    pages.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(pages.schema).parquet(src)
+    agg = ingest_stats_stream(stream)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("ingest_stats")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = spark.sql("SELECT * FROM ingest_stats").toPandas()
+    assert out.n_docs.sum() == 500
+    assert (out.avg_chars > 0).all()
