@@ -111,8 +111,14 @@ def minhash_signatures(documents: DataFrame, n_sigs: int = MINHASH_SIGS) -> Data
     """(doc_id, sig_0..sig_{n-1}): min over shingles of n universal
     hashes (a_i*md5(shingle)+b_i mod P) — ONE md5 per shingle, the
     16 signature functions are cheap linear mixes (16x less hashing
-    than seeded-md5-per-signature; identical SQL twin)."""
-    sh = doc_shingles(documents).withColumn("h", md5_int(F.col("shingle")))
+    than seeded-md5-per-signature; identical SQL twin).
+
+    No shingle-distinct pre-pass: min over a multiset equals min over
+    its set, so the dedup shuffle doc_shingles() pays is pure waste
+    here — this path goes explode -> single groupBy(doc_id)."""
+    sh = documents.select(
+        "doc_id", F.explode(shingles_col(F.col("text"))).alias("shingle")
+    ).withColumn("h", md5_int(F.col("shingle")))
     aggs = [
         F.min(
             F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(MINHASH_P))

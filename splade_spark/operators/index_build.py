@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 
 import pandas as pd
@@ -66,7 +67,7 @@ def build_segment(
         tok.select("doc_id", "dl").write.mode("overwrite").parquet(
             os.path.join(seg_dir, "docs")
         )
-        n_rows = spark.read.parquet(os.path.join(seg_dir, "docs")).count()
+        n_rows = tok.count()  # persisted — no re-read of written parquet
     finally:
         tok.unpersist()
     return {"rows": n_rows, "bytes": dir_bytes(seg_dir), "seg": seg}
@@ -216,18 +217,27 @@ def finalize_index(
     )
     post_dir = os.path.join(index_dir, "postings")
     written = spark.read.parquet(post_dir)
-    n_blocks = written.count()
 
-    # term-level upper bounds (MaxScore metadata): max block_max per term
-    term_max = written.groupBy("term_id").agg(F.max("block_max").alias("max_impact"))
-    td_final = term_dict.join(term_max, "term_id", "left").na.fill(
-        {"max_impact": 0.0}
+    # term-level upper bounds (MaxScore metadata): max block_max per
+    # term. ONE column-pruned scan of the compressed postings yields
+    # both the per-term maxima and the total block count (vocab-sized
+    # result; far cheaper than recomputing the weighted join).
+    term_max = (
+        written.groupBy("term_id")
+        .agg(F.max("block_max").alias("max_impact"), F.count("*").alias("n_blk"))
+        .persist()
+    )
+    n_blocks = term_max.agg(F.sum("n_blk")).first()[0] or 0
+    td_final = (
+        term_dict.join(term_max.drop("n_blk"), "term_id", "left")
+        .na.fill({"max_impact": 0.0})
     )
     tmp_td = os.path.join(index_dir, "term_dict_tmp")
     td_final.write.mode("overwrite").parquet(tmp_td)
-    spark.read.parquet(tmp_td).write.mode("overwrite").parquet(
-        os.path.join(index_dir, "term_dict")
-    )
+    term_max.unpersist()
+    final_td = os.path.join(index_dir, "term_dict")
+    shutil.rmtree(final_td, ignore_errors=True)
+    os.rename(tmp_td, final_td)
     man.commit(
         "finalize",
         "index",
