@@ -201,12 +201,38 @@ def q_composed_text(spark, sf_dir):
     return compose_doc_text(load_documents(spark, sf_dir))
 
 
+def q_run_with_urls(spark, sf_dir):
+    from splade_spark.sources.pages import documents_to_pages
+    from splade_spark.sources.sinks import remap_run_urls
+
+    docs = load_documents(spark, sf_dir)
+    dim = documents_to_pages(docs).select(
+        F.regexp_replace("url", "^doc://", "").cast("long").alias("doc_id"), "url"
+    )
+    return remap_run_urls(bm25_run(docs, k=TOPK_K), dim)
+
+
+def q_trec_run_lines(spark, sf_dir):
+    from splade_spark.sources.sinks import trec_lines_df
+
+    return trec_lines_df(bm25_run(load_documents(spark, sf_dir), k=TOPK_K))
+
+
+def q_run_json(spark, sf_dir):
+    from splade_spark.sources.sinks import run_json_df
+
+    return run_json_df(bm25_run(load_documents(spark, sf_dir), k=TOPK_K))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "mine_pairs": q_mine_pairs,
         "hard_negatives": q_hard_negatives,
         "quantized_vectors": q_quantized_vectors,
         "composed_text": q_composed_text,
+        "run_with_urls": q_run_with_urls,
+        "trec_run_lines": q_trec_run_lines,
+        "run_json": q_run_json,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard_pairs": q_ngram_jaccard,
         "minhash_signatures": q_minhash_signatures,
@@ -240,6 +266,9 @@ def oracle_sql() -> dict[str, str]:
         "hard_negatives": sql_oracle.hard_negatives_sql(k=TOPK_K, top_n=100),
         "quantized_vectors": sql_oracle.quantized_vectors_sql(100),
         "composed_text": sql_oracle.COMPOSED_TEXT_SQL,
+        "run_with_urls": sql_oracle.run_with_urls_sql(TOPK_K),
+        "trec_run_lines": sql_oracle.trec_run_sql(TOPK_K),
+        "run_json": sql_oracle.run_json_sql(TOPK_K),
         "exact_dedup": sql_oracle.EXACT_DEDUP_SQL,
         "ngram_jaccard_pairs": sql_oracle.ngram_jaccard_sql(min_jaccard=0.1),
         "minhash_signatures": sql_oracle.minhash_signatures_sql(),

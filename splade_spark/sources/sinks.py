@@ -14,17 +14,21 @@ from pyspark.sql import functions as F
 
 
 def run_json_df(run: DataFrame) -> DataFrame:
-    """(qid, run_json) — one JSON score-map per query."""
+    """(qid, run_json) — one JSON score-map per query.
+
+    Entries are formatted with %.6f (scores are already 6-dp rounded)
+    and sorted lexicographically, so the byte output is deterministic
+    across engines (the DuckDB twin renders identically)."""
+    entry = F.format_string('"%s":%.6f', F.col("doc_id").cast("string"), F.col("score"))
     return (
         run.groupBy("qid")
-        .agg(
-            F.map_from_entries(
-                F.sort_array(
-                    F.collect_list(F.struct(F.col("doc_id").cast("string"), "score"))
-                )
-            ).alias("scores")
+        .agg(F.sort_array(F.collect_list(entry)).alias("entries"))
+        .select(
+            "qid",
+            F.concat(F.lit("{"), F.array_join("entries", ","), F.lit("}")).alias(
+                "run_json"
+            ),
         )
-        .select("qid", F.to_json("scores").alias("run_json"))
     )
 
 
@@ -33,20 +37,30 @@ def write_run_json(run: DataFrame, path: str) -> None:
 
 
 def trec_lines_df(run: DataFrame, runid: str = "splade_spark") -> DataFrame:
-    """(qid, rank, line) TREC-format lines."""
+    """(qid, rank, line) TREC-format lines; %.6f score so the byte
+    output is deterministic across engines."""
     return run.select(
         "qid",
         "rank",
-        F.concat_ws(
-            " ",
-            F.col("qid").cast("string"),
-            F.lit("Q0"),
+        F.format_string(
+            "%d Q0 %s %d %.6f %s",
+            F.col("qid"),
             F.col("doc_id").cast("string"),
-            F.col("rank").cast("string"),
-            F.col("score").cast("string"),
+            F.col("rank"),
+            F.col("score"),
             F.lit(runid),
         ).alias("line"),
     )
+
+
+def remap_run_urls(run: DataFrame, docs_dim: DataFrame) -> DataFrame:
+    """(qid, url, score, rank): internal docid -> external id via a
+    broadcast join against the docs dimension (reference analog:
+    ``self.doc_ids[id_]`` remap, task/evaluator.py:242-243). The dim
+    slice touched is <= k rows/query, always broadcastable."""
+    return run.join(
+        F.broadcast(docs_dim.select("doc_id", "url")), "doc_id"
+    ).select("qid", "url", "score", "rank")
 
 
 def write_trec_run(run: DataFrame, path: str, runid: str = "splade_spark") -> None:

@@ -163,6 +163,46 @@ PER_QUERY_METRICS_SQL = (
 )
 
 
+def run_with_urls_sql(k: int) -> str:
+    """docid -> url remap join (sinks.remap_run_urls twin)."""
+    return (
+        _run_ctes(k)
+        + """
+SELECT r.qid, d.url, r.score, r.rank
+FROM run r
+JOIN (SELECT doc_id, 'doc://' || CAST(doc_id AS VARCHAR) AS url
+      FROM documents) d USING (doc_id)
+"""
+    )
+
+
+def trec_run_sql(k: int, runid: str = "splade_spark") -> str:
+    """TREC 6-column line sink twin (sinks.trec_lines_df)."""
+    return (
+        _run_ctes(k)
+        + f"""
+SELECT qid, rank,
+       printf('%d Q0 %s %d %.6f {runid}',
+              qid, CAST(doc_id AS VARCHAR), rank, score) AS line
+FROM run
+"""
+    )
+
+
+def run_json_sql(k: int) -> str:
+    """run.json score-map sink twin (sinks.run_json_df)."""
+    return (
+        _run_ctes(k)
+        + """
+SELECT qid,
+       '{' || array_to_string(
+           list_sort(list(printf('"%s":%.6f', CAST(doc_id AS VARCHAR), score))),
+           ',') || '}' AS run_json
+FROM run GROUP BY qid
+"""
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dedup family twins (operators/dedup.py)
 # ---------------------------------------------------------------------------
