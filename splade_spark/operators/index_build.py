@@ -14,7 +14,8 @@ Stage B ``finalize`` — the N-way merge (reference analog:
   union all segments, compute global stats + term dictionary,
   weight postings, salt hot terms, groupBy(term_id, salt) →
   applyInPandas block encoder → postings table partitioned by
-  bucket(term_id) for query-time partition pruning.
+  content-addressed bucket(md5(term)) for query-time partition
+  pruning with prune literals computable from raw query tokens.
 
 Skew: a stopword-ish term at 10^12 docs has a posting run of ~N
 entries — it must never be collected into one task. ``salt =
@@ -37,6 +38,7 @@ from pyspark.sql.window import Window
 
 from splade_spark import schema as S
 from splade_spark.functions.bm25 import impact_col
+from splade_spark.functions.hashing import md5_int
 from splade_spark.functions.codec import BLOCK_SIZE, encode_posting_blocks
 from splade_spark.functions.tokenize import tokenize_docs
 from splade_spark.plans.snapshots import Manifest, dir_bytes
@@ -169,7 +171,7 @@ def finalize_index(
         F.count("*").cast("long"), F.avg("dl").cast("double")
     ).first()
     with open(os.path.join(index_dir, "stats.json"), "w") as f:
-        json.dump({"n_docs": n_docs, "avgdl": avgdl}, f)
+        json.dump({"n_docs": n_docs, "avgdl": avgdl, "n_buckets": n_buckets}, f)
 
     # docs dimension table
     lens.write.mode("overwrite").parquet(os.path.join(index_dir, "docs"))
@@ -179,10 +181,17 @@ def finalize_index(
     # reference's first-appearance enumeration, index2pisa.py:53-57).
     # Vocab ≪ postings; single-partition window over the vocab-sized
     # relation is the standard dictionary-build pattern.
+    # bucket is CONTENT-ADDRESSED — pmod(md5(term), n_buckets) — so the
+    # query side derives its partition-prune literals from raw query
+    # tokens in pure Python with zero pre-query Spark actions
+    # (index_query.buckets_for_terms). Computed HERE on the vocab-sized
+    # dict (not per posting row — that would be |postings| md5s).
     dfs = terms.groupBy("term").agg(F.count("*").cast("long").alias("df"))
     term_dict = dfs.withColumn(
         "term_id",
         (F.row_number().over(Window.orderBy("term")) - 1).cast("int"),
+    ).withColumn(
+        "bucket", F.pmod(md5_int(F.col("term")), F.lit(n_buckets)).cast("int")
     )
     term_dict.write.mode("overwrite").parquet(os.path.join(index_dir, "term_dict"))
     term_dict = spark.read.parquet(os.path.join(index_dir, "term_dict"))
@@ -201,10 +210,14 @@ def finalize_index(
                 F.lit(n_docs),
                 F.lit(avgdl),
             ).alias("impact"),
-            F.ceil(F.col("df") / F.lit(salt_unit)).cast("int").alias("n_salts"),
+            "bucket",
+            F.pmod(
+                "doc_id",
+                F.greatest(
+                    F.ceil(F.col("df") / F.lit(salt_unit)).cast("int"), F.lit(1)
+                ),
+            ).cast("int").alias("salt"),
         )
-        .withColumn("salt", F.pmod("doc_id", F.greatest("n_salts", F.lit(1))).cast("int"))
-        .withColumn("bucket", F.pmod("term_id", F.lit(n_buckets)).cast("int"))
     )
     blocks = weighted.groupBy("term_id", "salt").applyInPandas(
         _encoder(block_size), schema=S.POSTINGS

@@ -8,7 +8,8 @@ Spark plan here:
    (vocabulary filter, queries2pisa.py:34-49, falls out of the join);
 2. postings scan pruned two ways: a literal ``bucket IN (...)``
    filter (parquet partition-directory pruning — the Iceberg
-   bucket(term_id) analog) + broadcast semi-join on term_id;
+   bucket() analog; content-addressed md5(term) buckets) +
+   broadcast semi-join on term_id;
 3. Arrow-batched block decode (mapInPandas) producing the partial
    products q_tf * impact — the decode stays columnar numpy;
 4. hash-aggregate sum per (qid, doc_id), threshold filter, window
@@ -34,6 +35,31 @@ from splade_spark.operators.retrieval import query_terms, topk_window
 def load_stats(index_dir: str) -> dict:
     with open(os.path.join(index_dir, "stats.json")) as f:
         return json.load(f)
+
+
+def buckets_for_terms(terms: list[str], n_buckets: int) -> list[int]:
+    """Partition-prune literals from raw query tokens — pure Python
+    (bucket is content-addressed: pmod(md5(term), n_buckets)), so a
+    single-query search issues NO Spark action before its main job."""
+    from splade_spark.functions.hashing import py_md5_int
+
+    return sorted({py_md5_int(t) % n_buckets for t in terms})
+
+
+def buckets_for_queries(queries: DataFrame, n_buckets: int) -> list[int]:
+    """Bucket literals when query texts are not driver-resident: one
+    cheap action over the (tiny) query relation — no postings scan,
+    no term_dict join."""
+    from splade_spark.functions.hashing import md5_int
+    from splade_spark.functions.tokenize import tokens_col
+
+    rows = (
+        queries.select(F.explode(tokens_col("text")).alias("term"))
+        .select(F.pmod(md5_int(F.col("term")), F.lit(n_buckets)).alias("b"))
+        .distinct()
+        .collect()
+    )
+    return sorted(int(r.b) for r in rows)
 
 
 def load_term_dict(spark: SparkSession, index_dir: str) -> DataFrame:
@@ -104,8 +130,14 @@ def search(
     k: int = TOPK_DEFAULT,
     threshold: float = SCORE_THRESHOLD,
     postings: DataFrame | None = None,
+    query_texts: list[str] | None = None,
 ) -> DataFrame:
-    """(qid, doc_id, score, rank) from the compressed index."""
+    """(qid, doc_id, score, rank) from the compressed index.
+
+    ``query_texts``: pass the raw texts when driver-resident (the
+    reference's own query-loading shape, evaluate.py:80-86) and the
+    bucket-prune literals are derived in pure Python — the search
+    runs as ONE Spark job chain with no preparatory actions."""
     term_dict = load_term_dict(spark, index_dir)
     qt = (
         query_terms(queries)
@@ -114,12 +146,14 @@ def search(
     )
     if postings is None:
         postings = load_postings(spark, index_dir)
-    # literal bucket list -> parquet partition pruning (query side is
-    # tiny; collecting it is the reference's own query-loading shape)
-    n_buckets = postings.select(F.max("bucket")).first()[0]
-    buckets = sorted(
-        {int(r.term_id) % (n_buckets + 1) for r in qt.select("term_id").distinct().collect()}
-    )
+    n_buckets = load_stats(index_dir)["n_buckets"]
+    if query_texts is not None:
+        from splade_spark.functions.tokenize import py_tokenize
+
+        toks = [t for txt in query_texts for t in py_tokenize(txt)]
+        buckets = buckets_for_terms(toks, n_buckets)
+    else:
+        buckets = buckets_for_queries(queries, n_buckets)
     pruned = postings.filter(F.col("bucket").isin(buckets)).join(
         F.broadcast(qt.select("term_id").distinct()), "term_id", "left_semi"
     )

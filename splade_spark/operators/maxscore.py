@@ -33,8 +33,10 @@ from pyspark.sql import functions as F
 
 from splade_spark import SCORE_THRESHOLD, TOPK_DEFAULT
 from splade_spark.operators.index_query import (
+    buckets_for_queries,
     decode_blocks_df,
     load_postings,
+    load_stats,
     load_term_dict,
 )
 from splade_spark.operators.retrieval import query_terms, topk_window
@@ -63,11 +65,11 @@ def search_maxscore(
     )
     qt = qt.cache()
 
-    # bucket-literal partition pruning, then per-term semi restriction
-    n_buckets = postings.select(F.max("bucket")).first()[0] + 1
-    buckets = sorted(
-        {int(r.term_id) % n_buckets for r in qt.select("term_id").distinct().collect()}
-    )
+    # bucket-literal partition pruning (content-addressed buckets —
+    # derived from query tokens, no postings/term_dict pre-scan),
+    # then per-term semi restriction
+    n_buckets = load_stats(index_dir)["n_buckets"]
+    buckets = buckets_for_queries(queries, n_buckets)
     blocks = postings.filter(F.col("bucket").isin(buckets)).join(
         F.broadcast(qt.select("term_id").distinct()), "term_id", "left_semi"
     )

@@ -11,7 +11,7 @@ reference's dense O(N) accumulator, which cannot exist at 10^12
 docs — then a per-query window top-k.
 
 Physical plan at scale: the broadcast join prunes the postings scan
-to query-term buckets (Iceberg bucket(term_id) partition pruning);
+to query-term buckets (Iceberg-style bucket partition pruning);
 one shuffle for the score agg, one for the window — both
 AQE-coalesced.
 """

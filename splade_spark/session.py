@@ -43,7 +43,13 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        # heap scales with parallelism: more concurrent tasks need more
+        # headroom or GC serializes the run (local-mode analog of
+        # per-executor memory on a cluster)
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_DRIVER_MEM", f"{max(16, cores)}g"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
