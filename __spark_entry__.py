@@ -201,6 +201,13 @@ def q_composed_text(spark, sf_dir):
     return compose_doc_text(load_documents(spark, sf_dir))
 
 
+def q_vector_export(spark, sf_dir):
+    from splade_spark.sources.sinks import vector_export_df
+
+    docs = load_documents(spark, sf_dir)
+    return vector_export_df(docs, logical_postings(docs))
+
+
 def q_run_with_urls(spark, sf_dir):
     from splade_spark.sources.pages import documents_to_pages
     from splade_spark.sources.sinks import remap_run_urls
@@ -230,6 +237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": q_hard_negatives,
         "quantized_vectors": q_quantized_vectors,
         "composed_text": q_composed_text,
+        "vector_export": q_vector_export,
         "run_with_urls": q_run_with_urls,
         "trec_run_lines": q_trec_run_lines,
         "run_json": q_run_json,
@@ -266,6 +274,7 @@ def oracle_sql() -> dict[str, str]:
         "hard_negatives": sql_oracle.hard_negatives_sql(k=TOPK_K, top_n=100),
         "quantized_vectors": sql_oracle.quantized_vectors_sql(100),
         "composed_text": sql_oracle.COMPOSED_TEXT_SQL,
+        "vector_export": sql_oracle.vector_export_sql(100),
         "run_with_urls": sql_oracle.run_with_urls_sql(TOPK_K),
         "trec_run_lines": sql_oracle.trec_run_sql(TOPK_K),
         "run_json": sql_oracle.run_json_sql(TOPK_K),

@@ -53,6 +53,41 @@ def trec_lines_df(run: DataFrame, runid: str = "splade_spark") -> DataFrame:
     )
 
 
+def vector_export_df(
+    documents: DataFrame, postings: DataFrame, scale: int = 100
+) -> DataFrame:
+    """(doc_id, content, vector_json): the reference's quantized JSONL
+    export row ``{"id", "content", "vector": {term: int}}``
+    (pisa_inference/inference_SPLADE.py:70-72; quantize int(w*scale)
+    clip [0,255], threshold > 0 per index2pisa.py:42-48). Entries are
+    '"term":impact' strings sorted lexicographically so the JSON bytes
+    are deterministic across engines."""
+    q = F.least(F.round(F.col("impact") * scale), F.lit(255)).cast("int")
+    entries = (
+        postings.select("doc_id", "term", q.alias("iq"))
+        .filter(F.col("iq") > 0)
+        .select("doc_id", F.format_string('"%s":%d', "term", "iq").alias("e"))
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("e")).alias("es"))
+        .select(
+            "doc_id",
+            F.concat(F.lit("{"), F.array_join("es", ","), F.lit("}")).alias(
+                "vector_json"
+            ),
+        )
+    )
+    return documents.select("doc_id", F.col("text").alias("content")).join(
+        entries, "doc_id"
+    )
+
+
+def write_vectors_jsonl_gz(vectors: DataFrame, path: str) -> None:
+    """Gzip JSONL export (reference sink: one JSON object per doc,
+    inference_SPLADE.py:43,71-72) — codec handled by the writer,
+    distributed, no driver collect."""
+    vectors.write.mode("overwrite").option("compression", "gzip").json(path)
+
+
 def remap_run_urls(run: DataFrame, docs_dim: DataFrame) -> DataFrame:
     """(qid, url, score, rank): internal docid -> external id via a
     broadcast join against the docs dimension (reference analog:

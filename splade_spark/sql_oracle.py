@@ -189,6 +189,28 @@ FROM run
     )
 
 
+def vector_export_sql(scale: int = 100) -> str:
+    """Quantized JSONL export row twin (sinks.vector_export_df)."""
+    return (
+        BM25_CTES
+        + f""",
+qp AS (
+  SELECT doc_id, term,
+         CAST(least(round(impact * {scale}), 255) AS INTEGER) AS iq
+  FROM post
+),
+vec AS (
+  SELECT doc_id,
+         '{{' || array_to_string(
+             list_sort(list(printf('"%s":%d', term, iq))), ',') || '}}' AS vector_json
+  FROM qp WHERE iq > 0 GROUP BY doc_id
+)
+SELECT d.doc_id, d.text AS content, v.vector_json
+FROM documents d JOIN vec v USING (doc_id)
+"""
+    )
+
+
 def run_json_sql(k: int) -> str:
     """run.json score-map sink twin (sinks.run_json_df)."""
     return (

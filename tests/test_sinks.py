@@ -25,3 +25,24 @@ def test_run_json_is_score_map(spark):
     m = json.loads(row.run_json)
     assert 1 <= len(m) <= 3
     assert all(isinstance(v, float) for v in m.values())
+
+
+def test_vector_export_jsonl_gz_roundtrip(spark, tmp_path):
+    import glob
+    import json
+
+    from splade_spark.engine import logical_postings
+    from splade_spark.sources.pages import load_documents
+    from splade_spark.sources.sinks import vector_export_df, write_vectors_jsonl_gz
+
+    docs = load_documents(spark, "/root/testdata/sf0.001").limit(50)
+    vecs = vector_export_df(docs, logical_postings(docs))
+    out = str(tmp_path / "vecs")
+    write_vectors_jsonl_gz(vecs, out)
+    files = glob.glob(out + "/*.json.gz")
+    assert files, "gzip part files written"
+    back = spark.read.json(out)
+    assert back.count() == vecs.count()
+    row = back.limit(1).collect()[0]
+    vec = json.loads(row.vector_json)  # valid JSON {term: int}
+    assert vec and all(isinstance(v, int) and 0 < v <= 255 for v in vec.values())
