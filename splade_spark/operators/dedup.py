@@ -39,25 +39,35 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
     )
 
 
-def shingles_col(text: Column, n: int = NGRAM_N) -> Column:
-    """array of word n-gram strings (space-joined)."""
-    toks = tokens_col(text)
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j) for j in range(n)]
-        ),
+def shingle_stream(documents: DataFrame, n: int = NGRAM_N) -> DataFrame:
+    """(doc_id, shingle) — one row per n-gram occurrence, built from
+    the exploded token stream with window lead()s.
+
+    NOT an array-HOF ``transform(sequence(...), i -> element_at(...))``:
+    higher-order-function lambdas are interpreted (outside whole-stage
+    codegen), so a tokens-subexpression inside the lambda re-tokenizes
+    the full text once per element access — measured ~70x slower than
+    this formulation on the sf0.1 corpus. The lead() window shuffles
+    the token stream by doc_id once; everything stays codegen."""
+    t = documents.select(
+        "doc_id", F.posexplode(tokens_col("text")).alias("pos", "tk")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tk")] + [F.lead("tk", j).over(w) for j in range(1, n)]
+    return (
+        t.select(
+            "doc_id",
+            F.concat_ws(" ", *parts).alias("shingle"),
+            F.lead("tk", n - 1).over(w).alias("_full"),
+        )
+        .filter(F.col("_full").isNotNull())
+        .select("doc_id", "shingle")
     )
 
 
 def doc_shingles(documents: DataFrame, n: int = NGRAM_N) -> DataFrame:
     """(doc_id, shingle) distinct."""
-    return (
-        documents.select(
-            "doc_id", F.explode(shingles_col(F.col("text"), n)).alias("shingle")
-        )
-        .distinct()
-    )
+    return shingle_stream(documents, n).distinct()
 
 
 def ngram_jaccard_pairs(
@@ -70,7 +80,11 @@ def ngram_jaccard_pairs(
     with df above a cap first (they carry no dedup signal). Here the
     fixture corpus is small enough to keep all.
     """
-    sh = doc_shingles(documents, n)
+    # one shingle pass feeds four plan branches (self-join a/b +
+    # sizes a/b); Catalyst does not reuse the exchange across them, so
+    # persist the distinct shingle relation (the production-scale analog
+    # is a materialized shingle segment table)
+    sh = doc_shingles(documents, n).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -115,10 +129,8 @@ def minhash_signatures(documents: DataFrame, n_sigs: int = MINHASH_SIGS) -> Data
 
     No shingle-distinct pre-pass: min over a multiset equals min over
     its set, so the dedup shuffle doc_shingles() pays is pure waste
-    here — this path goes explode -> single groupBy(doc_id)."""
-    sh = documents.select(
-        "doc_id", F.explode(shingles_col(F.col("text"))).alias("shingle")
-    ).withColumn("h", md5_int(F.col("shingle")))
+    here — this path goes shingle stream -> single groupBy(doc_id)."""
+    sh = shingle_stream(documents).withColumn("h", md5_int(F.col("shingle")))
     aggs = [
         F.min(
             F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(MINHASH_P))
@@ -164,7 +176,9 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("band"),
-    ).select("doc_id", "sig", "band.band_idx", "band.band_key")
+    ).select("doc_id", "sig", "band.band_idx", "band.band_key").persist()
+    # ^ both join sides read the banded relation; persist avoids
+    # recomputing shingle->minhash for each side
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -240,7 +254,7 @@ def simhash_pairs(
                 ]
             )
         ).alias("ch"),
-    ).select("doc_id", "simhash", "ch.chunk_idx", "ch.chunk_val")
+    ).select("doc_id", "simhash", "ch.chunk_idx", "ch.chunk_val").persist()
     a = chunks.alias("a")
     b = chunks.alias("b")
     return (
