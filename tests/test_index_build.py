@@ -98,3 +98,25 @@ def test_resume_skips_committed_segments(spark, tmp_path):
     # finalize is idempotent once committed
     finalize_index(spark, index_dir, n_buckets=8)
     assert len(Manifest.load(index_dir).snapshots) == len(man3.snapshots)
+
+
+def test_single_query_fast_path_matches_batch(spark, built):
+    """query_texts=[one text] takes the TakeOrdered path; results must
+    equal the batch (window) path row-for-row."""
+    from splade_spark.operators.index_query import search
+    from splade_spark.sources.pages import load_documents
+    from splade_spark.synth import derive_queries
+
+    index_dir = built
+    row = (
+        derive_queries(load_documents(spark, "/root/testdata/sf0.001"))
+        .orderBy("qid")
+        .limit(1)
+        .collect()[0]
+    )
+    qdf = spark.createDataFrame([(row.qid, row.text)], "qid long, text string")
+    fast = search(spark, index_dir, qdf, k=10, query_texts=[row.text]).collect()
+    slow = search(spark, index_dir, qdf, k=10).collect()
+    key = lambda r: (r.qid, r.rank, r.doc_id, r.score)
+    assert sorted(map(key, fast)) == sorted(map(key, slow))
+    assert len(fast) > 0
