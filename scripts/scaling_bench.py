@@ -40,7 +40,7 @@ spark = get_spark(app=f"scaling-{{cores}}", cores=cores)
 
 from splade_spark.sources.pages import load_documents
 from splade_spark.operators.index_build import build_index
-from splade_spark.operators.index_query import search
+from splade_spark.operators.index_query import search, search_fused
 from splade_spark.synth import derive_queries
 
 docs = load_documents(spark, {sf_dir!r})
@@ -73,17 +73,16 @@ qrows = derive_queries(load_documents(spark, {sf_dir!r})).orderBy("qid").limit({
 queries = spark.createDataFrame(qrows, "qid long, text string")
 n_q = len(qrows)
 t0 = time.time()
-search(spark, index_dir, queries, k=1000,
-       query_texts=[r.text for r in qrows]).write.format("noop").mode("overwrite").save()
+search_fused(spark, index_dir, [(r.qid, r.text) for r in qrows],
+             k=1000).write.format("noop").mode("overwrite").save()
 batch_wall = time.time() - t0
 
 # single-query latency (reference runs batch_size=1, evaluate.py:140)
 lat = []
 single = queries.limit(12).collect()
 for row in single:
-    qdf = spark.createDataFrame([(row.qid, row.text)], "qid long, text string")
     t0 = time.time()
-    search(spark, index_dir, qdf, k=1000, query_texts=[row.text]).write.format(
+    search_fused(spark, index_dir, [(row.qid, row.text)], k=1000).write.format(
         "noop"
     ).mode("overwrite").save()
     lat.append(time.time() - t0)

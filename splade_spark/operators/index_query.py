@@ -123,6 +123,108 @@ def decode_blocks_df(blocks: DataFrame) -> DataFrame:
     )
 
 
+def search_fused(
+    spark: SparkSession,
+    index_dir: str,
+    query_rows: list[tuple[int, str]],
+    k: int = TOPK_DEFAULT,
+    threshold: float = SCORE_THRESHOLD,
+) -> DataFrame:
+    """Minimal-plan search for driver-resident queries (the reference's
+    own query-loading shape, evaluate.py:80-86): the numba scoring
+    kernel's Spark analog (SURVEY.md §2.9 — gap-decode + score
+    accumulate per posting block inside one Arrow kernel).
+
+    Plan: bucket+term_id-pruned postings scan (both predicates are
+    literal pushdowns — partition-dir pruning + row-group min/max
+    skipping; no semi-join, no term_dict broadcast stage) ->
+    mapInPandas kernel (vbyte decode, q_tf multiply, per-doc partial
+    bincount — output rows ~= candidate docs, not postings) -> one
+    shuffle -> final agg -> top-k. Two stages total.
+    """
+    from collections import Counter
+
+    import pyarrow.dataset as pads
+
+    from splade_spark.functions.hashing import py_md5_int
+    from splade_spark.functions.tokenize import py_tokenize
+
+    stats = load_stats(index_dir)
+    n_buckets = stats["n_buckets"]
+    qtf: dict[int, Counter] = {
+        qid: Counter(py_tokenize(text)) for qid, text in query_rows
+    }
+    all_terms = sorted({t for c in qtf.values() for t in c})
+    dset = pads.dataset(os.path.join(index_dir, "term_dict"))
+    tbl = dset.to_table(
+        columns=["term", "term_id"], filter=pads.field("term").isin(all_terms)
+    )
+    tid_of = dict(zip(tbl.column("term").to_pylist(), tbl.column("term_id").to_pylist()))
+
+    q_arrs: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    for qid, c in qtf.items():
+        pairs = sorted((tid_of[t], float(w)) for t, w in c.items() if t in tid_of)
+        if pairs:
+            q_arrs[qid] = (
+                np.array([p[0] for p in pairs], dtype=np.int32),
+                np.array([p[1] for p in pairs], dtype=np.float64),
+            )
+    if not q_arrs:
+        return spark.createDataFrame(
+            [], "qid long, doc_id long, score double, rank int"
+        )
+    hit_terms = sorted({int(t) for tids, _ in q_arrs.values() for t in tids})
+    buckets = buckets_for_terms(
+        [t for t in all_terms if t in tid_of], n_buckets
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ns = pdf["n"].to_numpy(dtype=np.int64)
+            doc_ids, impacts = decode_blocks_vectorized(
+                pdf["first_doc_id"].to_numpy(dtype=np.int64),
+                ns,
+                list(pdf["doc_gap_bytes"]),
+                list(pdf["impact_bytes"]),
+            )
+            tid_arr = np.repeat(pdf["term_id"].to_numpy(dtype=np.int32), ns)
+            for qid, (tids, ws) in q_arrs.items():
+                pos = np.searchsorted(tids, tid_arr)
+                pos = np.clip(pos, 0, len(tids) - 1)
+                hit = tids[pos] == tid_arr
+                if not hit.any():
+                    continue
+                d = doc_ids[hit]
+                w = impacts[hit] * ws[pos[hit]]
+                uniq, inv = np.unique(d, return_inverse=True)
+                yield pd.DataFrame(
+                    {
+                        "qid": np.int64(qid),
+                        "doc_id": uniq,
+                        "partial": np.bincount(inv, weights=w),
+                    }
+                )
+
+    postings = load_postings(spark, index_dir)
+    pruned = postings.filter(
+        F.col("bucket").isin(buckets) & F.col("term_id").isin(hit_terms)
+    )
+    partials = pruned.select(*_BLOCK_COLS).mapInPandas(
+        kernel, schema="qid long, doc_id long, partial double"
+    )
+    scored = (
+        partials.groupBy("qid", "doc_id")
+        .agg(F.round(F.sum("partial"), 6).alias("score"))
+        .filter(F.col("score") > F.lit(threshold))
+    )
+    if len(q_arrs) == 1:
+        top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        return topk_window(top, k)
+    return topk_window(scored, k)
+
+
 def search(
     spark: SparkSession,
     index_dir: str,

@@ -120,3 +120,27 @@ def test_single_query_fast_path_matches_batch(spark, built):
     key = lambda r: (r.qid, r.rank, r.doc_id, r.score)
     assert sorted(map(key, fast)) == sorted(map(key, slow))
     assert len(fast) > 0
+
+
+def test_search_fused_matches_search(spark, built):
+    """The fused Arrow kernel (decode + q_tf multiply + per-doc partial
+    agg in one mapInPandas) must equal the join+agg path exactly —
+    scores are 6dp-rounded in both, so partial-sum order differences
+    cannot surface."""
+    from splade_spark.operators.index_query import search, search_fused
+    from splade_spark.sources.pages import load_documents
+    from splade_spark.synth import derive_queries
+
+    index_dir = built
+    qrows = (
+        derive_queries(load_documents(spark, "/root/testdata/sf0.001"))
+        .orderBy("qid")
+        .limit(4)
+        .collect()
+    )
+    qdf = spark.createDataFrame([(r.qid, r.text) for r in qrows], "qid long, text string")
+    base = search(spark, index_dir, qdf, k=10).collect()
+    fused = search_fused(spark, index_dir, [(r.qid, r.text) for r in qrows], k=10).collect()
+    key = lambda r: (r.qid, r.rank, r.doc_id, round(r.score, 6))
+    assert sorted(map(key, fused)) == sorted(map(key, base))
+    assert len(fused) > 0
