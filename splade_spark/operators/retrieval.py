@@ -25,15 +25,20 @@ from splade_spark import SCORE_THRESHOLD, TOPK_DEFAULT
 from splade_spark.functions.tokenize import tokens_col
 
 
-def query_terms(queries: DataFrame) -> DataFrame:
+def query_terms(queries: DataFrame, min_tf: int = 0) -> DataFrame:
     """(qid, term, q_tf) — query-side sparse vector. Reference analog:
     query nonzeros (task/evaluator.py:232-233) + term-frequency counts
-    (pisa_inference/queries2pisa.py:34-39)."""
-    return (
+    (pisa_inference/queries2pisa.py:34-39). ``min_tf`` is the query
+    term-frequency threshold (``times[w] > thres``,
+    queries2pisa.py:35-49; default keeps all, matching thres=0)."""
+    qt = (
         queries.select("qid", F.explode(tokens_col("text")).alias("term"))
         .groupBy("qid", "term")
         .agg(F.count("*").cast("double").alias("q_tf"))
     )
+    if min_tf > 0:
+        qt = qt.filter(F.col("q_tf") > F.lit(float(min_tf)))
+    return qt
 
 
 def topk_window(scored: DataFrame, k: int) -> DataFrame:
