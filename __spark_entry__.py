@@ -167,6 +167,10 @@ def q_ann_lsh(spark, sf_dir):
     return ann.lsh_cosine_topk(load_table(spark, sf_dir, "embeddings"))
 
 
+def q_ann_ivf(spark, sf_dir):
+    return ann.ivf_cosine_topk(load_table(spark, sf_dir, "embeddings"))
+
+
 def q_multimodal_features(spark, sf_dir):
     media = documents_to_media(load_documents(spark, sf_dir))
     return extract_features(media).select(
@@ -254,6 +258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine,
         "embedding_dup_pairs": q_emb_dup,
         "ann_lsh_topk": q_ann_lsh,
+        "ann_ivf_topk": q_ann_ivf,
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
         "bm25_topk": q_bm25_topk,
@@ -295,6 +300,7 @@ def oracle_sql() -> dict[str, str]:
             min_cos=0.2, sample_mod=PAIR_SAMPLE_MOD
         ),
         "ann_lsh_topk": sql_oracle.lsh_topk_sql(EMB_DIM),
+        "ann_ivf_topk": sql_oracle.ivf_topk_sql(),
         # multimodal_* intentionally omitted: binary decode is not
         # SQL-expressible -> driver records rows-only checks
         "bm25_topk": sql_oracle.bm25_topk_sql(TOPK_K),

@@ -98,6 +98,99 @@ def embedding_dup_pairs(
     )
 
 
+IVF_CELLS = 8
+IVF_PROBE = 2
+
+
+def ivf_centroids(embeddings: DataFrame, n_cells: int = IVF_CELLS) -> DataFrame:
+    """(c_id, c_emb, c_nrm): deterministic seed centroids — the
+    n_cells lowest-vec_id vectors. Production IVF would refine them
+    with Lloyd iterations (assign = this crossJoin+window, update =
+    groupBy(cell).agg(avg per dim)); seed centroids keep the operator
+    deterministic and oracle-checkable without iteration count
+    hyperparameters."""
+    return (
+        with_norms(embeddings)
+        .orderBy("vec_id")
+        .limit(n_cells)
+        .select(
+            F.col("vec_id").alias("c_id"),
+            F.col("embedding").alias("c_emb"),
+            F.col("nrm").alias("c_nrm"),
+        )
+    )
+
+
+def ivf_assign(
+    embeddings: DataFrame, n_cells: int = IVF_CELLS, n_probe: int = 1
+) -> DataFrame:
+    """(vec_id, embedding, nrm, cell): each vector's n_probe nearest
+    cells by cosine (rounded to 6dp BEFORE ranking so the argmax tie
+    rule is reproducible in the SQL twin; ties -> lowest c_id).
+
+    Scale: centroids are broadcast (n_cells rows); the crossJoin is a
+    per-row map over the vector table — no shuffle until the window,
+    which partitions by vec_id (the table's natural key)."""
+    from pyspark.sql import Window
+
+    base = with_norms(embeddings)
+    cents = ivf_centroids(embeddings, n_cells)
+    ccos = F.round(
+        _dot(F.col("embedding"), F.col("c_emb")) / (F.col("nrm") * F.col("c_nrm")), 6
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("c_id"))
+    return (
+        base.crossJoin(F.broadcast(cents))
+        .withColumn("ccos", ccos)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n_probe)
+        .select("vec_id", "embedding", "nrm", F.col("c_id").alias("cell"))
+    )
+
+
+def ivf_cosine_topk(
+    embeddings: DataFrame,
+    query_mod: int = 50,
+    k: int = 10,
+    n_cells: int = IVF_CELLS,
+    n_probe: int = IVF_PROBE,
+) -> DataFrame:
+    """(q_id, vec_id, cos, rank): IVF approximate top-k — queries probe
+    their n_probe nearest cells, exact cosine within. Each candidate
+    lives in exactly one cell (rn=1 assignment), so a (q, candidate)
+    pair matches at most once — no dedup stage needed."""
+    data = ivf_assign(embeddings, n_cells, n_probe=1)
+    qs = (
+        ivf_assign(embeddings, n_cells, n_probe=n_probe)
+        .filter(F.col("vec_id") % query_mod == 0)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+            F.col("cell").alias("q_cell"),
+        )
+    )
+    cand = data.join(
+        F.broadcast(qs),
+        (F.col("cell") == F.col("q_cell")) & (F.col("vec_id") != F.col("q_id")),
+    )
+    scored = cand.select(
+        F.col("q_id").alias("qid"),
+        F.col("vec_id").alias("doc_id"),
+        F.round(
+            _dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_nrm") * F.col("nrm")),
+            6,
+        ).alias("score"),
+    )
+    out = topk_window(scored, k)
+    return out.select(
+        F.col("qid").alias("q_id"),
+        F.col("doc_id").alias("vec_id"),
+        F.col("score").alias("cos"),
+        "rank",
+    )
+
+
 def hyperplanes(spark, dim: int, n_planes: int = LSH_PLANES) -> DataFrame:
     """(plane, d, v): deterministic pseudo-random hyperplanes,
     v = md5_int('p_d')/2^31 - 1 in [-1, 1)."""

@@ -558,6 +558,45 @@ FROM pairs QUALIFY rank <= {k}
 # ---------------------------------------------------------------------------
 
 
+def ivf_topk_sql(
+    query_mod: int = 50, k: int = 10, n_cells: int = 8, n_probe: int = 2
+) -> str:
+    """IVF ANN twin (operators/ann.py ivf_cosine_topk): seed centroids
+    = n_cells lowest vec_ids; assignment ranked on 6dp-rounded cosine
+    (ties -> lowest c_id) to mirror the Spark window exactly."""
+    return (
+        _EMB_BASE
+        + f""",
+cents AS (
+  SELECT vec_id AS c_id, e AS ce, nrm AS cn
+  FROM base ORDER BY vec_id LIMIT {n_cells}
+),
+asg AS (
+  SELECT b.vec_id, b.e, b.nrm, c.c_id,
+         row_number() OVER (
+           PARTITION BY b.vec_id
+           ORDER BY round(list_dot_product(b.e, c.ce) / (b.nrm * c.cn), 6) DESC,
+                    c.c_id ASC
+         ) AS rn
+  FROM base b CROSS JOIN cents c
+),
+data AS (SELECT vec_id, e, nrm, c_id AS cell FROM asg WHERE rn = 1),
+qs AS (
+  SELECT vec_id AS q_id, e AS qe, nrm AS qn, c_id AS q_cell
+  FROM asg WHERE rn <= {n_probe} AND vec_id % {query_mod} = 0
+),
+pairs AS (
+  SELECT q.q_id, d.vec_id,
+         round(list_dot_product(q.qe, d.e) / (q.qn * d.nrm), 6) AS cos
+  FROM data d JOIN qs q ON d.cell = q.q_cell AND d.vec_id != q.q_id
+)
+SELECT q_id, vec_id, cos,
+       CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank
+FROM pairs QUALIFY rank <= {k}
+"""
+    )
+
+
 def mine_pairs_sql(k: int = 10, top_n: int = 100) -> str:
     return (
         _run_ctes(k)

@@ -98,3 +98,23 @@ def test_frame_sampling_deterministic(spark):
     assert list(frames.frame_idx) == [0, 1, 2, 3]
     assert frames.offset_s.iloc[0] == 0.0
     assert frames.frame_hash.nunique() == 4
+
+
+def test_ivf_ann_recall_vs_bruteforce(spark):
+    """IVF probe-2 must recover a solid fraction of the exact top-k
+    (approximation quality measured, not assumed) and every returned
+    pair must carry the exact cosine."""
+    from splade_spark.operators import ann
+    from splade_spark.sources.pages import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    exact = ann.cosine_topk(emb, k=5).toPandas()
+    approx = ann.ivf_cosine_topk(emb, k=5).toPandas()
+    exact_pairs = set(zip(exact.q_id, exact.vec_id))
+    approx_pairs = set(zip(approx.q_id, approx.vec_id))
+    assert len(approx_pairs) > 0
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.3, recall
+    # cosines within the candidate set are exact: spot-check agreement
+    merged = approx.merge(exact, on=["q_id", "vec_id"], suffixes=("_a", "_e"))
+    assert (abs(merged.cos_a - merged.cos_e) < 1e-9).all()
