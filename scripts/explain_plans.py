@@ -77,6 +77,21 @@ def main() -> None:
         "everything after decode is JVM join + hash agg.",
     ))
 
+    from splade_spark.operators.index_query import search_fused
+
+    qr = [(int(r.qid), r.text) for r in qs.limit(2).collect()]
+    sections.append((
+        "search_fused (driver-resident queries: doubly-pruned scan → one Arrow kernel → one shuffle → top-k)",
+        formatted(search_fused(spark, idx_dir, qr)),
+        "What to check: the postings scan carries BOTH prune predicates as "
+        "literals (bucket partition-dir pruning AND term_id row-group "
+        "min/max skipping — no semi-join, no term_dict stage; term_ids were "
+        "resolved driver-side via a pyarrow predicate read); decode + q_tf "
+        "multiply + per-doc partial aggregation all happen inside ONE "
+        "mapInPandas kernel, so the only exchange is candidate partials; "
+        "single-query top-k is TakeOrderedAndProject, not a window.",
+    ))
+
     sections.append((
         "exact_dedup (hash-groupBy canonicalization)",
         formatted(m.q_exact_dedup(spark, SF_DIR)),
