@@ -164,7 +164,7 @@ def q_emb_dup(spark, sf_dir):
 
 
 def q_ann_lsh(spark, sf_dir):
-    return ann.lsh_cosine_topk(load_table(spark, sf_dir, "embeddings"))
+    return ann.lsh_cosine_topk(load_table(spark, sf_dir, "embeddings"), dim=EMB_DIM)
 
 
 def q_ann_ivf(spark, sf_dir):
@@ -194,8 +194,9 @@ def q_hard_negatives(spark, sf_dir):
 
 
 def q_quantized_vectors(spark, sf_dir):
+    # floor = the reference's int() truncation (inference_SPLADE.py:70)
     post = logical_postings(load_documents(spark, sf_dir))
-    q = F.least(F.round(F.col("impact") * 100), F.lit(255)).cast("int")
+    q = F.least(F.floor(F.col("impact") * 100), F.lit(255)).cast("int")
     return post.select("doc_id", "term", q.alias("impact_q")).filter(
         q > 0
     )

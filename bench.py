@@ -42,6 +42,10 @@ def main() -> None:
         t0 = time.time()
         fn()
         timings[name] = round(time.time() - t0, 3)
+        # operators persist() shared self-join relations (dedup/LSH);
+        # drop them between queries so cached relations don't
+        # accumulate across the 35+ query suite in one session
+        spark.catalog.clearCache()
 
     qs = entrymod.queries()
     # warm the JVM/parquet footer cache with a trivial action first

@@ -214,14 +214,22 @@ def hyperplanes(spark, dim: int, n_planes: int = LSH_PLANES) -> DataFrame:
     )
 
 
-def lsh_signatures(embeddings: DataFrame, n_planes: int = LSH_PLANES) -> DataFrame:
+def lsh_signatures(
+    embeddings: DataFrame, n_planes: int = LSH_PLANES, dim: int | None = None
+) -> DataFrame:
     """(vec_id, bucket): sign-bit bucket from hyperplane projections.
 
     Projections use the same sequential left-fold dot product as the
     exact path (per-row, no shuffle — hyperplane values are generated
-    as an array literal per plane, broadcast via the closure)."""
+    as an array literal per plane, broadcast via the closure).
+
+    Pass ``dim`` when known (the embeddings table's declared width):
+    the fallback ``.first()`` probe is a synchronous Spark job in the
+    pipeline-construction path, fine interactively but a per-call
+    driver action in composed pipelines."""
     spark = embeddings.sparkSession
-    dim = len(embeddings.select("embedding").first()[0])
+    if dim is None:
+        dim = len(embeddings.select("embedding").first()[0])
     hp = hyperplanes(spark, dim, n_planes).orderBy("plane", "d").collect()
     planes = [
         F.array(*[F.lit(r.v) for r in hp if r.plane == p]) for p in range(n_planes)
@@ -240,10 +248,11 @@ def lsh_cosine_topk(
     query_mod: int = 50,
     k: int = 10,
     n_planes: int = LSH_PLANES,
+    dim: int | None = None,
 ) -> DataFrame:
     """(q_id, vec_id, cos, rank): approximate top-k — candidates from
     the query's LSH bucket only, exact cosine within."""
-    sigs = lsh_signatures(embeddings, n_planes)
+    sigs = lsh_signatures(embeddings, n_planes, dim=dim)
     base = sigs.join(
         with_norms(embeddings).select("vec_id", "nrm"), "vec_id"
     )

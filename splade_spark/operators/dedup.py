@@ -9,6 +9,13 @@ Scale notes per operator in docstrings — the common theme: never
 materialize O(n^2); candidates come from equality joins on content
 keys (hash, shingle, band, simhash prefix), which Spark executes as
 shuffled hash joins partitioned by the key.
+
+Caching contract: operators that feed one relation into several join
+branches persist() it (Catalyst does not reuse exchanges across
+branches). The cache lives until the caller's action completes;
+long-lived sessions running many operators should clear it between
+pipelines (``spark.catalog.clearCache()`` — bench.py does this per
+query) or unpersist the returned plan's sources explicitly.
 """
 
 from __future__ import annotations

@@ -240,6 +240,19 @@ def search(
     reference's own query-loading shape, evaluate.py:80-86) and the
     bucket-prune literals are derived in pure Python — the search
     runs as ONE Spark job chain with no preparatory actions."""
+    if query_texts is not None:
+        # guard the contract query_texts makes: a mismatched list would
+        # silently drop bucket-prune literals (missing postings, wrong
+        # scores) and could truncate the top-k via the single-query fast
+        # path. The count is one job over the tiny query relation.
+        n_q = queries.count()
+        if n_q != len(query_texts):
+            raise ValueError(
+                f"query_texts has {len(query_texts)} entries but the "
+                f"queries relation has {n_q} rows — pass the texts of "
+                "exactly those queries (or None to derive buckets from "
+                "the relation)"
+            )
     term_dict = load_term_dict(spark, index_dir)
     qt = (
         query_terms(queries)

@@ -18,6 +18,29 @@ def default_cores() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def physical_ram_gb() -> int:
+    """Detected physical memory in GiB (0 if unreadable)."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    return int(line.split()[1]) // (1024 * 1024)
+    except OSError:
+        pass
+    return 0
+
+
+def default_driver_mem_gb(cores: int) -> int:
+    """Heap heuristic: scale with parallelism but never past ~70% of
+    physical RAM — on a high-core/low-RAM box an uncapped max(16, cores)
+    heap would push the run into swap/OOM-kill."""
+    want = max(16, cores)
+    ram = physical_ram_gb()
+    if ram:
+        want = min(want, max(4, int(ram * 0.7)))
+    return want
+
+
 def get_spark(
     app: str = "splade-spark",
     cores: int | None = None,
@@ -48,7 +71,7 @@ def get_spark(
         # per-executor memory on a cluster)
         .config(
             "spark.driver.memory",
-            os.environ.get("SPARK_DRIVER_MEM", f"{max(16, cores)}g"),
+            os.environ.get("SPARK_DRIVER_MEM", f"{default_driver_mem_gb(cores)}g"),
         )
         .config("spark.ui.enabled", "false")
         .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])

@@ -59,10 +59,13 @@ def vector_export_df(
     """(doc_id, content, vector_json): the reference's quantized JSONL
     export row ``{"id", "content", "vector": {term: int}}``
     (pisa_inference/inference_SPLADE.py:70-72; quantize int(w*scale)
-    clip [0,255], threshold > 0 per index2pisa.py:42-48). Entries are
-    '"term":impact' strings sorted lexicographically so the JSON bytes
-    are deterministic across engines."""
-    q = F.least(F.round(F.col("impact") * scale), F.lit(255)).cast("int")
+    clip [0,255], threshold > 0 per index2pisa.py:42-48). int() is
+    TRUNCATION, so the export uses floor — distinct from the in-index
+    quant_bytes convention (codec.quantize rint, the bmp_inference
+    rounding) — each matches its own reference sink byte-for-byte.
+    Entries are '"term":impact' strings sorted lexicographically so
+    the JSON bytes are deterministic across engines."""
+    q = F.least(F.floor(F.col("impact") * scale), F.lit(255)).cast("int")
     entries = (
         postings.select("doc_id", "term", q.alias("iq"))
         .filter(F.col("iq") > 0)
@@ -89,12 +92,16 @@ def write_vectors_jsonl_gz(vectors: DataFrame, path: str) -> None:
 
 
 def remap_run_urls(run: DataFrame, docs_dim: DataFrame) -> DataFrame:
-    """(qid, url, score, rank): internal docid -> external id via a
-    broadcast join against the docs dimension (reference analog:
-    ``self.doc_ids[id_]`` remap, task/evaluator.py:242-243). The dim
-    slice touched is <= k rows/query, always broadcastable."""
-    return run.join(
-        F.broadcast(docs_dim.select("doc_id", "url")), "doc_id"
+    """(qid, url, score, rank): internal docid -> external id
+    (reference analog: ``self.doc_ids[id_]`` remap,
+    task/evaluator.py:242-243).
+
+    The SMALL side of this join is the run (<= k rows per query); the
+    docs dimension is O(corpus) and must never be broadcast. Hint the
+    run side: Spark builds the hash table from the run and streams the
+    dim scan — at 10^12 docs that is the only shape that survives."""
+    return docs_dim.select("doc_id", "url").join(
+        F.broadcast(run), "doc_id"
     ).select("qid", "url", "score", "rank")
 
 

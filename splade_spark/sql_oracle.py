@@ -190,13 +190,14 @@ FROM run
 
 
 def vector_export_sql(scale: int = 100) -> str:
-    """Quantized JSONL export row twin (sinks.vector_export_df)."""
+    """Quantized JSONL export row twin (sinks.vector_export_df) —
+    floor() mirrors the reference's int() truncation."""
     return (
         BM25_CTES
         + f""",
 qp AS (
   SELECT doc_id, term,
-         CAST(least(round(impact * {scale}), 255) AS INTEGER) AS iq
+         CAST(least(floor(impact * {scale}), 255) AS INTEGER) AS iq
   FROM post
 ),
 vec AS (
@@ -622,14 +623,15 @@ WHERE r.rank <= {top_n}
 
 def quantized_vectors_sql(scale: int = 100) -> str:
     """Reference export quantization int(w*scale) clipped to [0,255]
-    (pisa_inference/inference_SPLADE.py:70, ...doc_bmp.py:78)."""
+    (pisa_inference/inference_SPLADE.py:70) — int() truncates, hence
+    floor()."""
     return (
         BM25_CTES
         + f"""
 SELECT doc_id, term,
-       CAST(least(round(impact * {scale}), 255) AS INTEGER) AS impact_q
+       CAST(least(floor(impact * {scale}), 255) AS INTEGER) AS impact_q
 FROM post
-WHERE CAST(least(round(impact * {scale}), 255) AS INTEGER) > 0
+WHERE CAST(least(floor(impact * {scale}), 255) AS INTEGER) > 0
 """
     )
 
