@@ -48,6 +48,52 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_run(load_documents(spark, sf_dir), k=TOPK_K)
 
 
+def q_bm25_topk_k1000(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval at the reference's actual depth (k=1000,
+    evaluate.py:164) — previously only benchmarked, now hash-checked."""
+    return bm25_run(load_documents(spark, sf_dir), k=1000)
+
+
+_INDEX_CACHE: dict[str, str] = {}
+
+
+def _materialized_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf_dir per process) the compressed posting-block
+    index the search entries query; the driver's correctness run hits
+    the REAL build -> salted encode -> bucket-partitioned parquet path."""
+    if sf_dir not in _INDEX_CACHE:
+        import tempfile
+
+        from splade_spark.operators.index_build import build_index
+
+        idx = tempfile.mkdtemp(prefix="entry_idx_")
+        build_index(
+            load_documents(spark, sf_dir).select("doc_id", "text"), idx, n_segments=4
+        )
+        _INDEX_CACHE[sf_dir] = idx
+    return _INDEX_CACHE[sf_dir]
+
+
+def q_index_search_k1000(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-index search (decode + score) at k=1000; lossless
+    vs the logical path, so it shares the BM25 SQL twin."""
+    from splade_spark.operators.index_query import search
+
+    idx = _materialized_index(spark, sf_dir)
+    return search(spark, idx, derive_queries(load_documents(spark, sf_dir)), k=1000)
+
+
+def q_index_search_maxscore_k1000(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-Max/MaxScore-pruned search at k=1000; pruning is lossless
+    (operators/maxscore.py proof), so it shares the BM25 SQL twin."""
+    from splade_spark.operators.maxscore import search_maxscore
+
+    idx = _materialized_index(spark, sf_dir)
+    return search_maxscore(
+        spark, idx, derive_queries(load_documents(spark, sf_dir)), k=1000
+    )
+
+
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_documents(spark, sf_dir)
     dterms = doc_terms(docs)
@@ -172,10 +218,22 @@ def q_ann_ivf(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
+    # fake decoder = md5-derived bytes, so the FULL mapInPandas path is
+    # hash-checkable: re-encode feat (byte/255 doubles) back to the
+    # exact byte ints as a JSON string the DuckDB twin reproduces
     media = documents_to_media(load_documents(spark, sf_dir))
-    return extract_features(media).select(
-        "media_id", "width", "height", "n_bytes"
-    )  # rows-only check (fake decoder, stubbed byte decode)
+    feats = extract_features(media)
+    feat_json = F.concat(
+        F.lit("["),
+        F.array_join(
+            F.transform("feat", lambda x: F.round(x * 255).cast("int").cast("string")),
+            ",",
+        ),
+        F.lit("]"),
+    )
+    return feats.select(
+        "media_id", "width", "height", "n_bytes", feat_json.alias("feat_bytes_json")
+    )
 
 
 def q_multimodal_frames(spark, sf_dir):
@@ -263,6 +321,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
         "bm25_topk": q_bm25_topk,
+        "bm25_topk_k1000": q_bm25_topk_k1000,
+        "index_search_k1000": q_index_search_k1000,
+        "index_search_maxscore_k1000": q_index_search_maxscore_k1000,
         "corpus_stats": q_corpus_stats,
         "term_df_top": q_term_df_top,
         "doc_lens": q_doc_lens,
@@ -302,9 +363,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ann_lsh_topk": sql_oracle.lsh_topk_sql(EMB_DIM),
         "ann_ivf_topk": sql_oracle.ivf_topk_sql(),
-        # multimodal_* intentionally omitted: binary decode is not
-        # SQL-expressible -> driver records rows-only checks
+        "multimodal_features": sql_oracle.multimodal_features_sql(),
+        "multimodal_frames": sql_oracle.multimodal_frames_sql(),
         "bm25_topk": sql_oracle.bm25_topk_sql(TOPK_K),
+        "bm25_topk_k1000": sql_oracle.bm25_topk_sql(1000),
+        "index_search_k1000": sql_oracle.bm25_topk_sql(1000),
+        "index_search_maxscore_k1000": sql_oracle.bm25_topk_sql(1000),
         "corpus_stats": sql_oracle.CORPUS_STATS_SQL,
         "term_df_top": sql_oracle.TERM_DF_TOP_SQL,
         "doc_lens": sql_oracle.DOC_LENS_SQL,

@@ -7,7 +7,10 @@ is STUBBED: ``decoder="real"`` raises NotImplementedError at the
 import boundary; ``decoder="fake"`` (default, clearly marked) derives
 deterministic pseudo-features from md5 of the bytes so the Spark-side
 plumbing — schema, partitioning, UDF signatures, batch shapes — is
-real and tested end-to-end.
+real and tested end-to-end. The fake decoder is md5-based ON PURPOSE:
+md5 exists in DuckDB too, so every fake-decoded output has an exact
+SQL twin and the whole mapInPandas pipeline is value-hash-checked by
+the driver, not just row-counted.
 """
 
 from __future__ import annotations
@@ -84,20 +87,25 @@ def extract_features(media: DataFrame, decoder: str = "fake") -> DataFrame:
 
 def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
     """Deterministic frame sampling: n evenly spaced offsets within
-    duration; frame 'decode' is the stubbed hash of (content, idx)."""
+    duration; frame 'decode' is the stubbed hash of (content, idx).
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = {k: [] for k in ("media_id", "frame_idx", "offset_s", "frame_hash")}
-            for row in pdf.itertuples(index=False):
-                dur = float(row.duration_s or 0.0)
-                for i in range(n_frames):
-                    out["media_id"].append(row.media_id)
-                    out["frame_idx"].append(i)
-                    out["offset_s"].append(round(dur * i / n_frames, 6))
-                    out["frame_hash"].append(
-                        hashlib.md5((row.content or b"") + bytes([i])).hexdigest()
-                    )
-            yield pd.DataFrame(out)
-
-    return media.mapInPandas(run, schema=FRAMES_SCHEMA)
+    Pure column expressions — explode(sequence) row expansion plus a
+    JVM-side md5 — no Python in the path (the earlier mapInPandas +
+    itertuples formulation was per-row Python for work codegen does
+    for free). The frame salt is the ASCII decimal index, so the twin
+    is ``md5(text || CAST(i AS VARCHAR))`` in any SQL engine."""
+    idx = F.explode(F.sequence(F.lit(0), F.lit(n_frames - 1))).alias("frame_idx")
+    frames = media.select("media_id", "content", "duration_s", idx)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        F.round(F.col("duration_s") * F.col("frame_idx") / n_frames, 6).alias(
+            "offset_s"
+        ),
+        F.md5(
+            F.concat(
+                F.col("content"),
+                F.encode(F.col("frame_idx").cast("string"), "UTF-8"),
+            )
+        ).alias("frame_hash"),
+    )

@@ -188,23 +188,41 @@ def finalize_index(
         json.dump({"n_docs": n_docs, "avgdl": avgdl, "n_buckets": n_buckets}, f)
 
     # --- term dictionary ---------------------------------------------------
-    # Dense term ids by deterministic term order (replaces the
-    # reference's first-appearance enumeration, index2pisa.py:53-57).
-    # Vocab ≪ postings; single-partition window over the vocab-sized
-    # relation is the standard dictionary-build pattern.
+    # Dense term ids by deterministic (bucket, term) order (replaces
+    # the reference's first-appearance enumeration, index2pisa.py:53-57).
     # bucket is CONTENT-ADDRESSED — pmod(md5(term), n_buckets) — so the
     # query side derives its partition-prune literals from raw query
     # tokens in pure Python with zero pre-query Spark actions
     # (index_query.buckets_for_terms). Computed HERE on the vocab-sized
     # dict (not per posting row — that would be |postings| md5s).
+    #
+    # id assignment is PER-BUCKET row_number + bucket base offset, NOT
+    # a global Window.orderBy(term): a no-partition window funnels the
+    # whole vocabulary (billions of rows at CC scale) through ONE task.
+    # Per-bucket windows parallelize across n_buckets; the offset
+    # prefix-sum runs over the n_buckets-row count relation (trivial).
+    # Ids stay dense in [0, V): bucket-major, term-sorted within.
     dfs = terms.groupBy("term").agg(F.count("*").cast("long").alias("df"))
-    term_dict = dfs.withColumn(
-        "term_id",
-        (F.row_number().over(Window.orderBy("term")) - 1).cast("int"),
-    ).withColumn(
+    bucketed = dfs.withColumn(
         "bucket", F.pmod(md5_int(F.col("term")), F.lit(n_buckets)).cast("int")
     )
+    bucketed = bucketed.persist()  # feeds the count action + the id join
+    counts = {
+        int(r.bucket): int(r.n)
+        for r in bucketed.groupBy("bucket").agg(F.count("*").alias("n")).collect()
+    }  # n_buckets rows — dictionary METADATA, driver-side by design
+    bases, acc = [], 0
+    for b in sorted(counts):
+        bases.append((b, acc))
+        acc += counts[b]
+    offsets = spark.createDataFrame(bases, "bucket int, base long")
+    in_bucket_w = Window.partitionBy("bucket").orderBy("term")
+    term_dict = bucketed.join(F.broadcast(offsets), "bucket").withColumn(
+        "term_id",
+        (F.col("base") + F.row_number().over(in_bucket_w) - 1).cast("int"),
+    ).select("term", "df", "term_id", "bucket")
     term_dict.write.mode("overwrite").parquet(os.path.join(index_dir, "term_dict"))
+    bucketed.unpersist()
     term_dict = spark.read.parquet(os.path.join(index_dir, "term_dict"))
 
     # --- weighted postings + salted block encode ---------------------------

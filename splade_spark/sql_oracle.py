@@ -640,3 +640,52 @@ COMPOSED_TEXT_SQL = """
 SELECT doc_id, 'title: ' || source || ' | context: ' || text AS composed
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# Multimodal twins (functions/multimodal.py — fake md5 decoder)
+# ---------------------------------------------------------------------------
+
+# hex pair -> byte value without engine-specific hex casts
+_HEXVAL = "strpos('0123456789abcdef', {c}) - 1"
+
+
+def _hex_byte(hexcol: str, i: int) -> str:
+    hi = _HEXVAL.format(c=f"substr({hexcol}, {2 * i - 1}, 1)")
+    lo = _HEXVAL.format(c=f"substr({hexcol}, {2 * i}, 1)")
+    return f"(({hi}) * 16 + ({lo}))"
+
+
+def multimodal_features_sql(feat_dim: int = 8) -> str:
+    """Twin of extract_features over documents_to_media: media content
+    is the doc text's UTF-8 bytes, so DuckDB's md5(text) equals the
+    Spark-side md5 of the binary column; features are the first
+    feat_dim digest bytes."""
+    bytes_list = ", ".join(
+        f"CAST({_hex_byte('h', i)} AS VARCHAR)" for i in range(1, feat_dim + 1)
+    )
+    return f"""
+WITH media AS (
+  SELECT doc_id AS media_id,
+         CAST(doc_id % 640 + 32 AS INTEGER) AS width,
+         CAST(doc_id % 480 + 32 AS INTEGER) AS height,
+         octet_length(encode(text)) AS n_bytes,
+         md5(text) AS h
+  FROM documents
+)
+SELECT media_id, width, height, n_bytes,
+       '[' || array_to_string([{bytes_list}], ',') || ']' AS feat_bytes_json
+FROM media
+"""
+
+
+def multimodal_frames_sql(n_frames: int = 4) -> str:
+    """Twin of sample_frames: ASCII-decimal frame salt, evenly spaced
+    offsets within duration_s = (doc_id % 300) / 10."""
+    return f"""
+SELECT doc_id AS media_id,
+       CAST(i AS INTEGER) AS frame_idx,
+       round((doc_id % 300) / 10.0 * i / {n_frames}, 6) AS offset_s,
+       md5(text || CAST(i AS VARCHAR)) AS frame_hash
+FROM documents, LATERAL unnest(generate_series(0, {n_frames - 1})) t(i)
+"""
