@@ -24,10 +24,16 @@ from splade_spark.functions.multimodal import (
 )
 from splade_spark.functions.tokenize import doc_terms, tokenize_docs
 from splade_spark.operators import ann, dedup, mining
-from splade_spark.operators.metrics import mrr_at_k, per_query_metrics, recall_at_k
+from splade_spark.operators.metrics import (
+    mrr_at_k,
+    ndcg_at_k,
+    per_query_metrics,
+    recall_at_cutoffs,
+    recall_at_k,
+)
 from splade_spark.operators.retrieval import query_terms
 from splade_spark.sources.pages import compose_doc_text, load_documents, load_table
-from splade_spark.synth import derive_qrels, derive_queries
+from splade_spark.synth import derive_qrels, derive_qrels_graded, derive_queries
 
 PAIR_SAMPLE_MOD = 5  # subsample for quadratic candidate-pair ops
 PAIR_WHERE = f"doc_id % {PAIR_SAMPLE_MOD} = 0"
@@ -147,6 +153,24 @@ def q_recall10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return recall_at_k(run, qrels, k=10)
 
 
+def q_recall_cutoffs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-cutoff recall over a k=1000 run (evaluate.py recall cuts)."""
+    docs = load_documents(spark, sf_dir)
+    return recall_at_cutoffs(
+        bm25_run(docs, k=1000), derive_qrels(docs), ks=(10, 100, 1000)
+    )
+
+
+def q_ndcg10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded-judgment NDCG@10 (the reference's TREC qrel.json path)."""
+    docs = load_documents(spark, sf_dir)
+    return ndcg_at_k(bm25_run(docs, k=TOPK_K), derive_qrels_graded(docs), k=10)
+
+
+def q_qrels_graded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return derive_qrels_graded(load_documents(spark, sf_dir))
+
+
 def q_per_query_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     run, qrels = _run_and_qrels(spark, sf_dir)
     pq = per_query_metrics(run, qrels, k=10)
@@ -204,8 +228,9 @@ def q_ann_cosine(spark, sf_dir):
 
 
 def q_emb_dup(spark, sf_dir):
+    # LSH-bucketed candidates -> no cartesian stage, so no subsample
     return ann.embedding_dup_pairs(
-        load_table(spark, sf_dir, "embeddings"), min_cos=0.2, sample_mod=PAIR_SAMPLE_MOD
+        load_table(spark, sf_dir, "embeddings"), min_cos=0.2, dim=EMB_DIM
     )
 
 
@@ -249,6 +274,27 @@ def q_mine_pairs(spark, sf_dir):
 def q_hard_negatives(spark, sf_dir):
     run, qrels = _run_and_qrels(spark, sf_dir)
     return mining.hard_negatives(run, qrels, top_n=100)
+
+
+def q_quantized_query_terms(spark, sf_dir):
+    from splade_spark.operators.retrieval import quantized_query_terms
+
+    return quantized_query_terms(derive_queries(load_documents(spark, sf_dir)))
+
+
+def q_bm25_topk_quantized(spark, sf_dir):
+    from splade_spark.engine import bm25_run_quantized
+
+    return bm25_run_quantized(load_documents(spark, sf_dir), k=1000)
+
+
+def q_index_search_quantized(spark, sf_dir):
+    from splade_spark.operators.index_query import search_quantized
+
+    idx = _materialized_index(spark, sf_dir)
+    return search_quantized(
+        spark, idx, derive_queries(load_documents(spark, sf_dir)), k=1000
+    )
 
 
 def q_quantized_vectors(spark, sf_dir):
@@ -299,6 +345,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mine_pairs": q_mine_pairs,
         "hard_negatives": q_hard_negatives,
         "quantized_vectors": q_quantized_vectors,
+        "quantized_query_terms": q_quantized_query_terms,
+        "bm25_topk_quantized": q_bm25_topk_quantized,
+        "index_search_quantized": q_index_search_quantized,
         "composed_text": q_composed_text,
         "vector_export": q_vector_export,
         "run_with_urls": q_run_with_urls,
@@ -331,6 +380,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_terms": q_query_terms,
         "mrr_at_10": q_mrr10,
         "recall_at_10": q_recall10,
+        "recall_cutoffs": q_recall_cutoffs,
+        "ndcg_at_10": q_ndcg10,
+        "qrels_graded": q_qrels_graded,
         "per_query_metrics": q_per_query_metrics,
     }
 
@@ -340,6 +392,9 @@ def oracle_sql() -> dict[str, str]:
         "mine_pairs": sql_oracle.mine_pairs_sql(k=TOPK_K, top_n=100),
         "hard_negatives": sql_oracle.hard_negatives_sql(k=TOPK_K, top_n=100),
         "quantized_vectors": sql_oracle.quantized_vectors_sql(100),
+        "quantized_query_terms": sql_oracle.quantized_query_terms_sql(),
+        "bm25_topk_quantized": sql_oracle.quantized_run_sql(1000),
+        "index_search_quantized": sql_oracle.quantized_run_sql(1000),
         "composed_text": sql_oracle.COMPOSED_TEXT_SQL,
         "vector_export": sql_oracle.vector_export_sql(100),
         "run_with_urls": sql_oracle.run_with_urls_sql(TOPK_K),
@@ -359,7 +414,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprints": sql_oracle.FINGERPRINTS_SQL,
         "ann_cosine_topk": sql_oracle.cosine_topk_sql(),
         "embedding_dup_pairs": sql_oracle.embedding_dup_pairs_sql(
-            min_cos=0.2, sample_mod=PAIR_SAMPLE_MOD
+            min_cos=0.2, dim=EMB_DIM
         ),
         "ann_lsh_topk": sql_oracle.lsh_topk_sql(EMB_DIM),
         "ann_ivf_topk": sql_oracle.ivf_topk_sql(),
@@ -376,5 +431,8 @@ def oracle_sql() -> dict[str, str]:
         "query_terms": sql_oracle.QUERY_TERMS_SQL,
         "mrr_at_10": sql_oracle.mrr_sql(10),
         "recall_at_10": sql_oracle.recall_sql(10),
+        "recall_cutoffs": sql_oracle.recall_cutoffs_sql(1000, (10, 100, 1000)),
+        "ndcg_at_10": sql_oracle.ndcg_sql(10, run_k=TOPK_K),
+        "qrels_graded": sql_oracle.qrels_graded_sql(),
         "per_query_metrics": sql_oracle.PER_QUERY_METRICS_SQL,
     }

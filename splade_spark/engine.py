@@ -12,10 +12,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from splade_spark import TOPK_DEFAULT
+from splade_spark import DOC_SCALE, TOPK_DEFAULT
 from splade_spark.functions.bm25 import weighted_postings
 from splade_spark.functions.tokenize import tokenize_docs
-from splade_spark.operators.retrieval import query_terms, score_postings
+from splade_spark.operators.retrieval import (
+    quantized_query_terms,
+    query_terms,
+    score_postings,
+    score_postings_quantized,
+)
 from splade_spark.sources.pages import load_documents
 from splade_spark.synth import derive_queries
 
@@ -56,3 +61,26 @@ def bm25_run(
 
 def bm25_run_sf(spark: SparkSession, sf_dir: str, k: int = TOPK_DEFAULT) -> DataFrame:
     return bm25_run(load_documents(spark, sf_dir), k=k)
+
+
+def bm25_run_quantized(
+    documents: DataFrame,
+    queries: DataFrame | None = None,
+    k: int = TOPK_DEFAULT,
+    doc_scale: int = DOC_SCALE,
+) -> DataFrame:
+    """(qid, doc_id, score long, rank): the quantized-arithmetic run —
+    uint8 doc impacts (round(impact * 100) clip 255, the in-index
+    quant_bytes convention, codec.quantize) x quantized query weights
+    (x50 clip 255). This is the score PISA computes on the reference's
+    exported index; integer arithmetic makes it hash-exact across
+    engines by construction."""
+    if queries is None:
+        queries = derive_queries(documents)
+    d_w = F.least(F.round(F.col("impact") * doc_scale), F.lit(255.0)).cast("int")
+    post = (
+        logical_postings(documents)
+        .select("term", "doc_id", d_w.alias("d_w"))
+        .filter(F.col("d_w") > 0)
+    )
+    return score_postings_quantized(post, quantized_query_terms(queries), k=k)

@@ -76,15 +76,31 @@ def cosine_topk(
 
 
 def embedding_dup_pairs(
-    embeddings: DataFrame, min_cos: float = 0.9, sample_mod: int = 1
+    embeddings: DataFrame,
+    min_cos: float = 0.9,
+    n_planes: int = LSH_PLANES,
+    dim: int | None = None,
 ) -> DataFrame:
     """(a, b, cos): near-duplicate vector pairs above a cosine
-    threshold (brute force over an optional subsample)."""
-    base = with_norms(embeddings).filter(F.col("vec_id") % sample_mod == 0)
+    threshold.
+
+    Candidates come from shared random-hyperplane LSH buckets (the
+    same ``lsh_signatures`` the search path uses), exact cosine within
+    — an EQUALITY self-join shuffled by bucket, mirroring
+    ``minhash_lsh_pairs``. The earlier brute-force theta-join
+    (a.vec_id < b.vec_id) compiled to a cartesian
+    BroadcastNestedLoopJoin: O(n^2) rows, the textbook scale-killer at
+    a 10^12-row table. Cross-bucket pairs are missed (recall < 1, the
+    standard LSH trade: near-duplicates at cos >= 0.9 flip a sign bit
+    with low probability per plane)."""
+    base = lsh_signatures(embeddings, n_planes, dim=dim).withColumn(
+        "nrm", _norm(F.col("embedding"))
+    ).persist()  # both self-join branches read it; Catalyst won't reuse
     a = base.alias("a")
     b = base.alias("b")
     return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        a.join(b, "bucket")
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
             F.col("a.vec_id").alias("a"),
             F.col("b.vec_id").alias("b"),
@@ -100,16 +116,13 @@ def embedding_dup_pairs(
 
 IVF_CELLS = 8
 IVF_PROBE = 2
+IVF_ITERS = 2
 
 
-def ivf_centroids(embeddings: DataFrame, n_cells: int = IVF_CELLS) -> DataFrame:
-    """(c_id, c_emb, c_nrm): deterministic seed centroids — the
-    n_cells lowest-vec_id vectors. Production IVF would refine them
-    with Lloyd iterations (assign = this crossJoin+window, update =
-    groupBy(cell).agg(avg per dim)); seed centroids keep the operator
-    deterministic and oracle-checkable without iteration count
-    hyperparameters."""
-    return (
+def ivf_seed_centroids(embeddings: DataFrame, n_cells: int = IVF_CELLS) -> DataFrame:
+    """(c_id, c_emb, c_nrm): deterministic seeds — the n_cells
+    lowest-vec_id vectors (c_id = the seed's vec_id)."""
+    seeds = (
         with_norms(embeddings)
         .orderBy("vec_id")
         .limit(n_cells)
@@ -119,22 +132,19 @@ def ivf_centroids(embeddings: DataFrame, n_cells: int = IVF_CELLS) -> DataFrame:
             F.col("nrm").alias("c_nrm"),
         )
     )
+    return seeds
 
 
-def ivf_assign(
-    embeddings: DataFrame, n_cells: int = IVF_CELLS, n_probe: int = 1
-) -> DataFrame:
+def _assign_to(base: DataFrame, cents: DataFrame, n_probe: int) -> DataFrame:
     """(vec_id, embedding, nrm, cell): each vector's n_probe nearest
-    cells by cosine (rounded to 6dp BEFORE ranking so the argmax tie
-    rule is reproducible in the SQL twin; ties -> lowest c_id).
+    centroids by cosine (rounded to 6dp BEFORE ranking so the argmax
+    tie rule is reproducible in the SQL twin; ties -> lowest c_id).
 
     Scale: centroids are broadcast (n_cells rows); the crossJoin is a
     per-row map over the vector table — no shuffle until the window,
     which partitions by vec_id (the table's natural key)."""
     from pyspark.sql import Window
 
-    base = with_norms(embeddings)
-    cents = ivf_centroids(embeddings, n_cells)
     ccos = F.round(
         _dot(F.col("embedding"), F.col("c_emb")) / (F.col("nrm") * F.col("c_nrm")), 6
     )
@@ -148,20 +158,78 @@ def ivf_assign(
     )
 
 
+def ivf_centroids(
+    embeddings: DataFrame,
+    n_cells: int = IVF_CELLS,
+    n_iters: int = IVF_ITERS,
+) -> DataFrame:
+    """(c_id, c_emb, c_nrm): Lloyd-refined centroids — n_iters fixed
+    k-means steps from the deterministic seeds (assign = broadcast
+    crossJoin + per-vec_id window; update = per-dim mean, rounded to
+    6dp so the SQL twin reproduces every component exactly). An empty
+    cell keeps its previous centroid.
+
+    The centroid relation is MODEL METADATA (n_cells x dim values):
+    each update is collected to the driver and re-broadcast as
+    literals, exactly how MLlib's KMeans iterates — the O(corpus)
+    assignment work stays distributed."""
+    spark = embeddings.sparkSession
+    base = with_norms(embeddings)
+    cents_rows = sorted(
+        (int(r.c_id), [float(x) for x in r.c_emb])
+        for r in ivf_seed_centroids(embeddings, n_cells).collect()
+    )
+    for _ in range(n_iters):
+        cdf = spark.createDataFrame(cents_rows, "c_id long, c_emb array<double>")
+        cdf = cdf.select("c_id", "c_emb", _norm(F.col("c_emb")).alias("c_nrm"))
+        asg = _assign_to(base, cdf, n_probe=1)
+        means = (
+            asg.select("cell", F.posexplode("embedding").alias("d", "v"))
+            .groupBy("cell", "d")
+            .agg(F.avg(F.col("v").cast("double")).alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("d", "m"))),
+                    lambda s: F.round(s["m"], 6),
+                ).alias("c_emb")
+            )
+        )
+        new = {int(r.cell): [float(x) for x in r.c_emb] for r in means.collect()}
+        cents_rows = [(c, new.get(c, emb)) for c, emb in cents_rows]
+    cdf = spark.createDataFrame(cents_rows, "c_id long, c_emb array<double>")
+    return cdf.select("c_id", "c_emb", _norm(F.col("c_emb")).alias("c_nrm"))
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    n_cells: int = IVF_CELLS,
+    n_probe: int = 1,
+    n_iters: int = IVF_ITERS,
+) -> DataFrame:
+    """(vec_id, embedding, nrm, cell) against Lloyd-refined centroids."""
+    return _assign_to(
+        with_norms(embeddings), ivf_centroids(embeddings, n_cells, n_iters), n_probe
+    )
+
+
 def ivf_cosine_topk(
     embeddings: DataFrame,
     query_mod: int = 50,
     k: int = 10,
     n_cells: int = IVF_CELLS,
     n_probe: int = IVF_PROBE,
+    n_iters: int = IVF_ITERS,
 ) -> DataFrame:
     """(q_id, vec_id, cos, rank): IVF approximate top-k — queries probe
     their n_probe nearest cells, exact cosine within. Each candidate
     lives in exactly one cell (rn=1 assignment), so a (q, candidate)
     pair matches at most once — no dedup stage needed."""
-    data = ivf_assign(embeddings, n_cells, n_probe=1)
+    cents = ivf_centroids(embeddings, n_cells, n_iters)
+    base = with_norms(embeddings)
+    data = _assign_to(base, cents, n_probe=1)
     qs = (
-        ivf_assign(embeddings, n_cells, n_probe=n_probe)
+        _assign_to(base, cents, n_probe=n_probe)
         .filter(F.col("vec_id") % query_mod == 0)
         .select(
             F.col("vec_id").alias("q_id"),

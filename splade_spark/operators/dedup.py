@@ -77,15 +77,25 @@ def doc_shingles(documents: DataFrame, n: int = NGRAM_N) -> DataFrame:
     return shingle_stream(documents, n).distinct()
 
 
+MAX_SHINGLE_DF = 10_000
+
+
 def ngram_jaccard_pairs(
-    documents: DataFrame, n: int = NGRAM_N, min_jaccard: float = 0.2
+    documents: DataFrame,
+    n: int = NGRAM_N,
+    min_jaccard: float = 0.2,
+    max_shingle_df: int | None = MAX_SHINGLE_DF,
 ) -> DataFrame:
     """(a, b, jaccard) for candidate pairs sharing >=1 shingle.
 
     Scale: the shingle self-join is partitioned by shingle; hot
-    shingles are the skew risk — at production scale drop shingles
-    with df above a cap first (they carry no dedup signal). Here the
-    fixture corpus is small enough to keep all.
+    shingles are the skew risk — a stopword phrase appearing in d docs
+    contributes d^2 join rows, which at CC scale is the whole job.
+    Shingles with df > ``max_shingle_df`` are dropped BEFORE the
+    self-join (broadcast anti-join on the small hot-shingle set): they
+    carry no dedup signal, only quadratic cost. Jaccard denominators
+    still count ALL shingles, so scores for pairs that shared a hot
+    shingle are (slightly) underestimated, never inflated.
     """
     # one shingle pass feeds four plan branches (self-join a/b +
     # sizes a/b); Catalyst does not reuse the exchange across them, so
@@ -93,8 +103,17 @@ def ngram_jaccard_pairs(
     # is a materialized shingle segment table)
     sh = doc_shingles(documents, n).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    joinable = sh
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("sdf"))
+            .filter(F.col("sdf") > max_shingle_df)
+            .select("shingle")
+        )
+        joinable = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    a = joinable.alias("a")
+    b = joinable.alias("b")
     shared = (
         a.join(b, "shingle")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))

@@ -70,19 +70,27 @@ def load_postings(spark: SparkSession, index_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(index_dir, "postings"))
 
 
-def decode_blocks_vectorized(
-    first_ids: np.ndarray, ns: np.ndarray, gap_bytes: list, impact_bytes: list
-) -> tuple[np.ndarray, np.ndarray]:
-    """Decode MANY blocks in one vectorized pass. VByte values never
-    cross block boundaries, so the concatenated byte stream decodes as
-    one sequence; doc ids come from a segmented cumsum of the gaps."""
+def decode_doc_ids_vectorized(
+    first_ids: np.ndarray, ns: np.ndarray, gap_bytes: list
+) -> np.ndarray:
+    """Gap-decode MANY blocks' doc ids in one vectorized pass. VByte
+    values never cross block boundaries, so the concatenated byte
+    stream decodes as one sequence; ids come from a segmented cumsum
+    of the gaps."""
     n_total = int(ns.sum())
     gaps = vbyte_decode(b"".join(gap_bytes), n_total).astype(np.int64)
     ends = np.cumsum(ns)
     starts = ends - ns
     g = np.cumsum(gaps)
     seg_base = np.repeat(g[starts] - gaps[starts], ns)
-    doc_ids = np.repeat(first_ids, ns) + (g - seg_base)
+    return np.repeat(first_ids, ns) + (g - seg_base)
+
+
+def decode_blocks_vectorized(
+    first_ids: np.ndarray, ns: np.ndarray, gap_bytes: list, impact_bytes: list
+) -> tuple[np.ndarray, np.ndarray]:
+    """(doc_ids, float64 impacts) across many blocks at once."""
+    doc_ids = decode_doc_ids_vectorized(first_ids, ns, gap_bytes)
     impacts = np.frombuffer(b"".join(impact_bytes), dtype=np.float64)
     return doc_ids, impacts
 
@@ -121,6 +129,75 @@ def decode_blocks_df(blocks: DataFrame) -> DataFrame:
     return blocks.select(*_BLOCK_COLS).mapInPandas(
         _decode_postings, schema=DECODED_SCHEMA
     )
+
+
+_BLOCK_COLS_Q = ["term_id", "first_doc_id", "n", "doc_gap_bytes", "quant_bytes"]
+
+
+def _decode_postings_quant(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batch decode of the uint8 quantized impacts (the PISA
+    interchange payload, index2pisa.py:42-48) -> (term_id, doc_id, d_w)."""
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        ns = pdf["n"].to_numpy(dtype=np.int64)
+        doc_ids = decode_doc_ids_vectorized(
+            pdf["first_doc_id"].to_numpy(dtype=np.int64),
+            ns,
+            list(pdf["doc_gap_bytes"]),
+        )
+        d_w = np.frombuffer(b"".join(pdf["quant_bytes"]), dtype=np.uint8).astype(
+            np.int32
+        )
+        yield pd.DataFrame(
+            {
+                "term_id": np.repeat(pdf["term_id"].to_numpy(dtype=np.int32), ns),
+                "doc_id": doc_ids,
+                "d_w": d_w,
+            }
+        )
+
+
+def decode_blocks_quant_df(blocks: DataFrame) -> DataFrame:
+    return blocks.select(*_BLOCK_COLS_Q).mapInPandas(
+        _decode_postings_quant, schema="term_id int, doc_id long, d_w int"
+    )
+
+
+def search_quantized(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = TOPK_DEFAULT,
+) -> DataFrame:
+    """(qid, doc_id, score long, rank): PISA-parity quantized search —
+    integer ``sum(q_w * d_w)`` over the index's stored uint8
+    quant_bytes (codec.quantize rint convention) and x50-clipped query
+    weights (inference_q_SPLADE.py:13,60). Same doubly-pruned scan
+    shape as ``search``; the decode kernel reads quant_bytes instead
+    of float64 impact_bytes (4x fewer bytes per posting)."""
+    from splade_spark.operators.retrieval import quantized_query_terms
+
+    term_dict = load_term_dict(spark, index_dir)
+    qtq = (
+        quantized_query_terms(queries)
+        .join(term_dict.select("term", "term_id"), "term")
+        .select("qid", "term_id", "q_w")
+    )
+    postings = load_postings(spark, index_dir)
+    n_buckets = load_stats(index_dir)["n_buckets"]
+    buckets = buckets_for_queries(queries, n_buckets)
+    pruned = postings.filter(F.col("bucket").isin(buckets)).join(
+        F.broadcast(qtq.select("term_id").distinct()), "term_id", "left_semi"
+    )
+    decoded = decode_blocks_quant_df(pruned)
+    scored = (
+        decoded.join(F.broadcast(qtq), "term_id")
+        .groupBy("qid", "doc_id")
+        .agg(F.sum(F.col("q_w") * F.col("d_w")).cast("long").alias("score"))
+        .filter(F.col("score") > 0)
+    )
+    return topk_window(scored, k)
 
 
 def search_fused(

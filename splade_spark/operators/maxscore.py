@@ -28,6 +28,8 @@ Pass 2 (prune + exact): a block b of term t upper-bounds every
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -40,6 +42,265 @@ from splade_spark.operators.index_query import (
     load_term_dict,
 )
 from splade_spark.operators.retrieval import query_terms, topk_window
+
+
+def search_maxscore_fused(
+    spark: SparkSession,
+    index_dir: str,
+    query_rows: list[tuple[int, str]],
+    k: int = TOPK_DEFAULT,
+    threshold: float = SCORE_THRESHOLD,
+    debug_counts: dict | None = None,
+    champion_block_limit: int = 50_000,
+) -> DataFrame:
+    """Minimal-plan Block-Max/MaxScore search for driver-resident
+    queries: the pruning passes run DRIVER-SIDE on metadata-scale data
+    (pyarrow scans of the query terms' dictionary rows, block metadata
+    and the champion/candidate block bytes), so the distributed part
+    is ONE pruned scan -> score kernel -> agg -> top-k — the same
+    two-stage shape as ``search_fused``, minus the pruned blocks'
+    decode work. ``search_maxscore`` (all-DataFrame, ~12 stages) stays
+    the cluster path for query RELATIONS; this is the low-latency path
+    for the reference's own driver-resident query shape
+    (evaluate.py:80-86).
+
+    Lossless: same floor/prune rules as search_maxscore — a block
+    survives iff total_ub_q - ub_t + q_tf*block_max >= theta, theta =
+    k-th exact candidate score (candidates = top-k by champion
+    partial), so every doc with true score >= theta keeps all its
+    blocks. Scoring a superset of one query's retained blocks (the
+    union across queries) stays lossless: fully-retained docs score
+    exactly, others partially UNDER their true (< theta) score.
+
+    If the champion's posting list exceeds ``champion_block_limit``
+    blocks, the driver-side floor would stop being metadata-scale —
+    fall back to exhaustive ``search_fused``.
+    """
+    from collections import Counter
+
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    from splade_spark.operators.index_query import (
+        buckets_for_terms,
+        decode_blocks_vectorized,
+        load_stats,
+        search_fused,
+    )
+
+    stats = load_stats(index_dir)
+    n_buckets = stats["n_buckets"]
+    from splade_spark.functions.tokenize import py_tokenize
+
+    qtf: dict[int, Counter] = {
+        qid: Counter(py_tokenize(text)) for qid, text in query_rows
+    }
+    all_terms = sorted({t for c in qtf.values() for t in c})
+    dict_tbl = pads.dataset(os.path.join(index_dir, "term_dict")).to_table(
+        columns=["term", "term_id", "max_impact"],
+        filter=pads.field("term").isin(all_terms),
+    )
+    tinfo = {
+        t: (int(tid), float(mi))
+        for t, tid, mi in zip(
+            dict_tbl.column("term").to_pylist(),
+            dict_tbl.column("term_id").to_pylist(),
+            dict_tbl.column("max_impact").to_pylist(),
+        )
+    }
+    # per query: [(term_id, q_tf, ub)], champion, total_ub
+    q_plan: dict[int, list[tuple[int, float, float]]] = {}
+    for qid, c in qtf.items():
+        rows = [
+            (tinfo[t][0], float(w), float(w) * tinfo[t][1])
+            for t, w in c.items()
+            if t in tinfo
+        ]
+        if rows:
+            q_plan[qid] = sorted(rows)
+    if not q_plan:
+        return spark.createDataFrame(
+            [], "qid long, doc_id long, score double, rank int"
+        )
+    hit_terms = sorted({t for rows in q_plan.values() for t, _, _ in rows})
+    buckets = buckets_for_terms([t for t in all_terms if t in tinfo], n_buckets)
+
+    post_ds = pads.dataset(
+        os.path.join(index_dir, "postings"), partitioning="hive"
+    )
+    meta = post_ds.to_table(
+        columns=["term_id", "block_id", "first_doc_id", "last_doc_id", "block_max"],
+        filter=pads.field("term_id").isin(hit_terms),
+    ).to_pandas()
+    by_term = dict(iter(meta.groupby("term_id")))
+
+    def fetch_decode(pairs: set[tuple[int, int]]):
+        """Decode the given (term_id, block_id) blocks driver-side."""
+        if not pairs:
+            return {}
+        tids = sorted({t for t, _ in pairs})
+        bids = sorted({b for _, b in pairs})
+        tbl = post_ds.to_table(
+            columns=["term_id", "block_id", "first_doc_id", "n", "doc_gap_bytes", "impact_bytes"],
+            filter=pads.field("term_id").isin(tids)
+            & pads.field("block_id").isin(bids),
+        ).to_pandas()
+        tbl = tbl[
+            [
+                (t, b) in pairs
+                for t, b in zip(tbl["term_id"], tbl["block_id"])
+            ]
+        ]
+        out: dict[int, list] = {}
+        if len(tbl) == 0:
+            return out
+        ns = tbl["n"].to_numpy(dtype=np.int64)
+        doc_ids, impacts = decode_blocks_vectorized(
+            tbl["first_doc_id"].to_numpy(dtype=np.int64),
+            ns,
+            list(tbl["doc_gap_bytes"]),
+            list(tbl["impact_bytes"]),
+        )
+        tid_rep = np.repeat(tbl["term_id"].to_numpy(dtype=np.int64), ns)
+        for t in {int(x) for x in tbl["term_id"]}:
+            m = tid_rep == t
+            out[t] = (doc_ids[m], impacts[m])
+        return out
+
+    # ---- pass 1 driver-side: champion floor -> theta per query ------
+    champ_pairs: set[tuple[int, int]] = set()
+    for qid, rows in q_plan.items():
+        champ = max(rows, key=lambda r: (r[2], -r[0]))
+        cm = by_term.get(champ[0])
+        if cm is None:
+            continue
+        if len(cm) > champion_block_limit:
+            return search_fused(spark, index_dir, query_rows, k, threshold)
+        champ_pairs.update((champ[0], int(b)) for b in cm["block_id"])
+    champ_dec = fetch_decode(champ_pairs)
+
+    theta: dict[int, float] = {}
+    cover_pairs: set[tuple[int, int]] = set()
+    cand_of: dict[int, np.ndarray] = {}
+    for qid, rows in q_plan.items():
+        champ = max(rows, key=lambda r: (r[2], -r[0]))
+        dec = champ_dec.get(champ[0])
+        if dec is None:
+            continue
+        d, w = dec
+        part = w * champ[1]
+        order = np.lexsort((d, -part))[:k]
+        cand = d[order]
+        cand_of[qid] = cand
+        for tid, _, _ in rows:
+            tm = by_term.get(tid)
+            if tm is None:
+                continue
+            fd = tm["first_doc_id"].to_numpy()
+            ld = tm["last_doc_id"].to_numpy()
+            covered = (cand[None, :] >= fd[:, None]) & (cand[None, :] <= ld[:, None])
+            for b in tm["block_id"].to_numpy()[covered.any(axis=1)]:
+                cover_pairs.add((tid, int(b)))
+    cover_dec = fetch_decode(cover_pairs)
+    for qid, rows in q_plan.items():
+        cand = cand_of.get(qid)
+        if cand is None:
+            continue
+        scores = np.zeros(len(cand), dtype=np.float64)
+        for tid, q_tf, _ in rows:
+            dec = cover_dec.get(tid)
+            if dec is None:
+                continue
+            d, w = dec
+            pos = np.searchsorted(cand, d)
+            pos = np.clip(pos, 0, len(cand) - 1)
+            hit = cand[pos] == d
+            np.add.at(scores, pos[hit], q_tf * w[hit])
+        if len(scores) >= k:
+            theta[qid] = float(np.sort(scores)[-k])
+
+    # ---- pass 2 driver-side: retained block set ---------------------
+    retained: dict[int, set[int]] = {}
+    total_blocks = 0
+    for qid, rows in q_plan.items():
+        total_ub = sum(r[2] for r in rows)
+        th = theta.get(qid, threshold)
+        for tid, q_tf, ub in rows:
+            tm = by_term.get(tid)
+            if tm is None:
+                continue
+            total_blocks += len(tm)
+            block_ub = total_ub - ub + q_tf * tm["block_max"].to_numpy()
+            keep = tm["block_id"].to_numpy()[block_ub >= th]
+            retained.setdefault(tid, set()).update(int(b) for b in keep)
+    if debug_counts is not None:
+        debug_counts["blocks_total"] = total_blocks
+        debug_counts["blocks_kept"] = sum(len(v) for v in retained.values())
+
+    # ---- distributed: ONE pruned scan -> kernel -> agg -> top-k -----
+    q_arrs = {
+        qid: (
+            np.array([t for t, _, _ in rows], dtype=np.int32),
+            np.array([w for _, w, _ in rows], dtype=np.float64),
+        )
+        for qid, rows in q_plan.items()
+    }
+    keep_expr = None
+    for tid, bids in retained.items():
+        e = (F.col("term_id") == tid) & F.col("block_id").isin(sorted(bids))
+        keep_expr = e if keep_expr is None else (keep_expr | e)
+    if keep_expr is None:
+        return spark.createDataFrame(
+            [], "qid long, doc_id long, score double, rank int"
+        )
+    from splade_spark.operators.index_query import load_postings, _BLOCK_COLS
+    from splade_spark.operators.index_query import decode_blocks_vectorized as _dbv
+
+    import pandas as pd
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ns = pdf["n"].to_numpy(dtype=np.int64)
+            doc_ids, impacts = _dbv(
+                pdf["first_doc_id"].to_numpy(dtype=np.int64),
+                ns,
+                list(pdf["doc_gap_bytes"]),
+                list(pdf["impact_bytes"]),
+            )
+            tid_arr = np.repeat(pdf["term_id"].to_numpy(dtype=np.int32), ns)
+            for qid, (tids, ws) in q_arrs.items():
+                pos = np.searchsorted(tids, tid_arr)
+                pos = np.clip(pos, 0, len(tids) - 1)
+                hit = tids[pos] == tid_arr
+                if not hit.any():
+                    continue
+                d = doc_ids[hit]
+                w = impacts[hit] * ws[pos[hit]]
+                uniq, inv = np.unique(d, return_inverse=True)
+                yield pd.DataFrame(
+                    {
+                        "qid": np.int64(qid),
+                        "doc_id": uniq,
+                        "partial": np.bincount(inv, weights=w),
+                    }
+                )
+
+    postings = load_postings(spark, index_dir)
+    pruned = postings.filter(F.col("bucket").isin(buckets) & keep_expr)
+    partials = pruned.select(*_BLOCK_COLS).mapInPandas(
+        kernel, schema="qid long, doc_id long, partial double"
+    )
+    scored = (
+        partials.groupBy("qid", "doc_id")
+        .agg(F.round(F.sum("partial"), 6).alias("score"))
+        .filter(F.col("score") > F.lit(threshold))
+    )
+    if len(q_arrs) == 1:
+        top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        return topk_window(top, k)
+    return topk_window(scored, k)
 
 
 def search_maxscore(

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from splade_spark import SCORE_THRESHOLD, TOPK_DEFAULT
+from splade_spark import QUERY_SCALE, SCORE_THRESHOLD, TOPK_DEFAULT
 from splade_spark.functions.tokenize import tokens_col
 
 
@@ -39,6 +39,37 @@ def query_terms(queries: DataFrame, min_tf: int = 0) -> DataFrame:
     if min_tf > 0:
         qt = qt.filter(F.col("q_tf") > F.lit(float(min_tf)))
     return qt
+
+
+def quantized_query_terms(
+    queries: DataFrame, scale: int = QUERY_SCALE, clip: int = 255
+) -> DataFrame:
+    """(qid, term, q_w): reference query-side quantization —
+    ``int(w * 50)`` clipped to [0, 255]
+    (pisa_inference/inference_q_SPLADE.py:13,60). Query weights here
+    are integer term frequencies, so int() truncation is exact."""
+    return query_terms(queries).select(
+        "qid",
+        "term",
+        F.least(F.col("q_tf") * scale, F.lit(float(clip))).cast("int").alias("q_w"),
+    )
+
+
+def score_postings_quantized(
+    postings_quant: DataFrame, qt_quant: DataFrame, k: int = TOPK_DEFAULT
+) -> DataFrame:
+    """PISA-parity quantized scoring: integer ``sum(q_w * d_w)`` over
+    uint8 impact postings (the arithmetic PISA runs on the exported
+    index, index2pisa.py:42-48 + quantized queries). Integer scores
+    are hash-exact across engines — no float rounding discipline
+    needed. Returns (qid, doc_id, score long, rank)."""
+    joined = postings_quant.join(F.broadcast(qt_quant), "term")
+    scored = (
+        joined.groupBy("qid", "doc_id")
+        .agg(F.sum(F.col("q_w") * F.col("d_w")).cast("long").alias("score"))
+        .filter(F.col("score") > 0)
+    )
+    return topk_window(scored, k)
 
 
 def topk_window(scored: DataFrame, k: int) -> DataFrame:

@@ -107,3 +107,142 @@ def remap_run_urls(run: DataFrame, docs_dim: DataFrame) -> DataFrame:
 
 def write_trec_run(run: DataFrame, path: str, runid: str = "splade_spark") -> None:
     trec_lines_df(run, runid).select("line").write.mode("overwrite").text(path)
+
+
+# ---------------------------------------------------------------------------
+# PISA binary interchange sink
+# ---------------------------------------------------------------------------
+
+
+def _u32seq(values) -> bytes:
+    """One PISA binary sequence: uint32-LE count, then the values
+    (pisa_inference/index2pisa.py:7-15 binarySequence)."""
+    import numpy as np
+
+    arr = np.asarray(list(values), dtype=np.uint32)
+    return len(arr).to_bytes(4, "little") + arr.astype("<u4").tobytes()
+
+
+def write_pisa_index(
+    documents: DataFrame,
+    postings: DataFrame,
+    out_prefix: str,
+    scale: int = 100,
+    threshold: int = 0,
+) -> dict:
+    """Export the quantized index in the reference's PISA interchange
+    format (index2pisa.py:59-74): ``.docs`` = [N] then per-term docID
+    sequences, ``.freqs`` = per-term quantized-impact sequences,
+    ``.sizes`` = per-doc posting counts, ``.id`` = term -> term_id JSON
+    map — the one artifact a migrating reference user would diff.
+
+    Term order reproduces the reference's first-appearance enumeration
+    over the exported JSONL (docs in doc_id order, vector keys
+    lexicographic within a doc): sort by (first doc, term). Doc ids
+    are densified to 0..N-1 scan positions via a sorted zipWithIndex
+    (distributed — no single-partition window); only the final byte
+    stream is driver-sequential, which the format itself forces (PISA
+    consumes single files on one node).
+
+    Returns {"n_docs", "n_terms", "n_postings"}.
+    """
+    import json as _json
+
+    spark = documents.sparkSession
+    dq = (
+        postings.select(
+            "doc_id",
+            "term",
+            F.least(F.floor(F.col("impact") * scale), F.lit(255)).cast("int").alias(
+                "iq"
+            ),
+        )
+        .filter(F.col("iq") > threshold)
+    )
+    docs_idx = (
+        documents.select("doc_id")
+        .orderBy("doc_id")
+        .rdd.map(lambda r: r.doc_id)
+        .zipWithIndex()
+        .toDF(["doc_id", "idx"])
+    )
+    counts = dq.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sizes_rows = (
+        docs_idx.join(counts, "doc_id", "left")
+        .select("idx", F.coalesce("n", F.lit(0)).alias("n"))
+        .orderBy("idx")
+    )
+    tmin = dq.groupBy("term").agg(F.min("doc_id").alias("first_doc"))
+    stream = (
+        dq.join(F.broadcast(tmin), "term")
+        .join(docs_idx, "doc_id")
+        .select("first_doc", "term", "idx", "iq")
+        .orderBy("first_doc", "term", "idx")
+    )
+
+    sizes = [r.n for r in sizes_rows.toLocalIterator()]
+    n_docs = len(sizes)
+    term_ids: dict[str, int] = {}
+    n_postings = 0
+    with open(out_prefix + ".docs", "wb") as fd, open(
+        out_prefix + ".freqs", "wb"
+    ) as ff:
+        fd.write(_u32seq([n_docs]))
+        cur_term, cur_ids, cur_ws = None, [], []
+
+        def flush():
+            nonlocal n_postings
+            if cur_term is not None:
+                term_ids[cur_term] = len(term_ids)
+                fd.write(_u32seq(cur_ids))
+                ff.write(_u32seq(cur_ws))
+                n_postings += len(cur_ids)
+
+        for r in stream.toLocalIterator():
+            if r.term != cur_term:
+                flush()
+                cur_term, cur_ids, cur_ws = r.term, [], []
+            cur_ids.append(r.idx)
+            cur_ws.append(r.iq)
+        flush()
+    with open(out_prefix + ".sizes", "wb") as fs:
+        fs.write(_u32seq(sizes))
+    with open(out_prefix + ".id", "w") as fi:
+        _json.dump(term_ids, fi)
+    return {"n_docs": n_docs, "n_terms": len(term_ids), "n_postings": n_postings}
+
+
+def read_pisa_index(prefix: str) -> dict:
+    """Parse the PISA binary files back into
+    {"n_docs", "sizes", "term_ids", "postings": {term: [(idx, w)...]}}
+    — the round-trip check for write_pisa_index."""
+    import json as _json
+
+    import numpy as np
+
+    def sequences(path: str):
+        data = open(path, "rb").read()
+        off = 0
+        while off < len(data):
+            n = int.from_bytes(data[off : off + 4], "little")
+            off += 4
+            yield np.frombuffer(data, dtype="<u4", count=n, offset=off).tolist()
+            off += 4 * n
+
+    docs_seqs = list(sequences(prefix + ".docs"))
+    freq_seqs = list(sequences(prefix + ".freqs"))
+    (sizes,) = list(sequences(prefix + ".sizes"))
+    with open(prefix + ".id") as f:
+        term_ids = _json.load(f)
+    n_docs = docs_seqs[0][0]
+    by_id = sorted(term_ids.items(), key=lambda kv: kv[1])
+    postings = {
+        term: list(zip(docs_seqs[1 + tid], freq_seqs[tid]))
+        for term, tid in by_id
+    }
+    return {
+        "n_docs": n_docs,
+        "sizes": sizes,
+        "term_ids": term_ids,
+        "postings": postings,
+    }

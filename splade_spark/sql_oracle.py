@@ -163,6 +163,84 @@ PER_QUERY_METRICS_SQL = (
 )
 
 
+def recall_cutoffs_sql(run_k: int, ks: tuple[int, ...] = (10, 100, 1000)) -> str:
+    """Multi-cutoff recall twin (metrics.recall_at_cutoffs)."""
+    h_cols = ",\n         ".join(
+        f"sum(CASE WHEN r.rank <= {k} THEN 1 ELSE 0 END) AS h{k}" for k in ks
+    )
+    r_cols = ",\n         ".join(
+        f"round(avg(coalesce(h.h{k}, 0) * 1.0 / n.n_rel), 6) AS r{k}" for k in ks
+    )
+    selects = "\nUNION ALL\n".join(
+        f"SELECT 'recall@{k}' AS metric, r{k} AS value FROM means" for k in ks
+    )
+    return (
+        _run_ctes(run_k)
+        + f""",
+hitsc AS (
+  SELECT r.qid,
+         {h_cols}
+  FROM run r JOIN qrels q ON r.qid = q.qid AND r.doc_id = q.doc_id
+  GROUP BY r.qid
+),
+means AS (
+  SELECT {r_cols}
+  FROM n_rel n LEFT JOIN hitsc h USING (qid)
+)
+{selects}
+"""
+    )
+
+
+def ndcg_sql(k: int = 10, run_k: int | None = None) -> str:
+    """Graded NDCG twin (metrics.ndcg_at_k over derive_qrels_graded):
+    trec_eval linear gain rel/log2(rank+1)."""
+    from splade_spark.synth import SQL_QRELS_GRADED
+
+    run_k = k if run_k is None else run_k
+    return (
+        BM25_CTES
+        + f""",
+scored AS (
+  SELECT q.qid, p.doc_id, round(sum(q.q_tf * p.impact), 6) AS score
+  FROM post p JOIN qterms q USING (term)
+  GROUP BY q.qid, p.doc_id
+  HAVING round(sum(q.q_tf * p.impact), 6) > 0.0
+),
+run AS (
+  SELECT qid, doc_id, score,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM scored QUALIFY rank <= {run_k}
+),
+gq AS ({SQL_QRELS_GRADED}),
+pos AS (SELECT * FROM gq WHERE rel > 0),
+dcg AS (
+  SELECT r.qid, sum(g.rel / log2(r.rank + 1)) AS dcg
+  FROM run r JOIN pos g ON r.qid = g.qid AND r.doc_id = g.doc_id
+  WHERE r.rank <= {k}
+  GROUP BY r.qid
+),
+ideal AS (
+  SELECT qid, sum(rel / log2(rn + 1)) AS idcg FROM (
+    SELECT qid, rel,
+           row_number() OVER (PARTITION BY qid ORDER BY rel DESC, doc_id ASC) AS rn
+    FROM pos
+  ) WHERE rn <= {k} GROUP BY qid
+),
+qbase AS (SELECT DISTINCT qid FROM gq)
+SELECT 'ndcg@{k}' AS metric,
+       round(avg(coalesce(d.dcg / i.idcg, 0.0)), 6) AS value
+FROM qbase b LEFT JOIN dcg d USING (qid) LEFT JOIN ideal i USING (qid)
+"""
+    )
+
+
+def qrels_graded_sql() -> str:
+    from splade_spark.synth import SQL_QRELS_GRADED
+
+    return SQL_QRELS_GRADED
+
+
 def run_with_urls_sql(k: int) -> str:
     """docid -> url remap join (sinks.remap_run_urls twin)."""
     return (
@@ -259,14 +337,23 @@ sh AS (
 """
 
 
-def ngram_jaccard_sql(min_jaccard: float = 0.2, where: str = "TRUE") -> str:
+def ngram_jaccard_sql(
+    min_jaccard: float = 0.2,
+    where: str = "TRUE",
+    max_shingle_df: int | None = None,
+) -> str:
+    from splade_spark.operators.dedup import MAX_SHINGLE_DF
+
+    cap = MAX_SHINGLE_DF if max_shingle_df is None else max_shingle_df
     return (
         _sh_cte(where)
         + f""",
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > {cap}),
+cold AS (SELECT * FROM sh ANTI JOIN hot USING (shingle)),
 shared AS (
   SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS shared
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM cold a JOIN cold b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT s.a, s.b,
@@ -508,16 +595,25 @@ FROM pairs QUALIFY rank <= {k}
     )
 
 
-def embedding_dup_pairs_sql(min_cos: float = 0.9, sample_mod: int = 1) -> str:
+def embedding_dup_pairs_sql(
+    min_cos: float, dim: int, n_planes: int | None = None
+) -> str:
+    """LSH-bucketed near-dup twin (ann.embedding_dup_pairs): same
+    hyperplane bucket expression as lsh_topk_sql, candidates share a
+    bucket, exact cosine within."""
+    n_planes = LSH_PLANES if n_planes is None else n_planes
+    bucket = " + ".join(
+        f"CASE WHEN list_dot_product(e, {_hp_list(p, dim)}) > 0 THEN {1 << p} ELSE 0 END"
+        for p in range(n_planes)
+    )
     return (
         _EMB_BASE
-        + f"""
+        + f""",
+sigs AS (SELECT vec_id, e, nrm, ({bucket}) AS bucket FROM base)
 SELECT a.vec_id AS a, b.vec_id AS b,
        round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS cos
-FROM base a, base b
-WHERE a.vec_id < b.vec_id
-  AND a.vec_id % {sample_mod} = 0 AND b.vec_id % {sample_mod} = 0
-  AND round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) >= {min_cos}
+FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) >= {min_cos}
 """
     )
 
@@ -559,32 +655,67 @@ FROM pairs QUALIFY rank <= {k}
 # ---------------------------------------------------------------------------
 
 
+def _ivf_assign_cte(name: str, cents: str, rn_keep: str) -> str:
+    return f"""
+{name} AS (
+  SELECT vec_id, e, nrm, c_id FROM (
+    SELECT b.vec_id, b.e, b.nrm, c.c_id,
+           row_number() OVER (
+             PARTITION BY b.vec_id
+             ORDER BY round(list_dot_product(b.e, c.ce) / (b.nrm * c.cn), 6) DESC,
+                      c.c_id ASC
+           ) AS rn
+    FROM base b CROSS JOIN {cents} c
+  ) WHERE {rn_keep}
+)"""
+
+
 def ivf_topk_sql(
-    query_mod: int = 50, k: int = 10, n_cells: int = 8, n_probe: int = 2
+    query_mod: int = 50,
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    n_iters: int = 2,
 ) -> str:
     """IVF ANN twin (operators/ann.py ivf_cosine_topk): seed centroids
-    = n_cells lowest vec_ids; assignment ranked on 6dp-rounded cosine
-    (ties -> lowest c_id) to mirror the Spark window exactly."""
-    return (
-        _EMB_BASE
-        + f""",
-cents AS (
+    = n_cells lowest vec_ids, then n_iters Lloyd steps (assign ranked
+    on 6dp-rounded cosine, ties -> lowest c_id; update = per-dim mean
+    rounded to 6dp; an empty cell keeps its previous centroid) —
+    mirroring the Spark iteration component-for-component."""
+    ctes = [
+        f"""cents0 AS (
   SELECT vec_id AS c_id, e AS ce, nrm AS cn
   FROM base ORDER BY vec_id LIMIT {n_cells}
+)"""
+    ]
+    for it in range(1, n_iters + 1):
+        prev, cur = f"cents{it - 1}", f"cents{it}"
+        ctes.append(_ivf_assign_cte(f"lasg{it}", prev, "rn = 1"))
+        ctes.append(
+            f"""mean{it} AS (
+  SELECT c_id, i AS d, round(avg(e[i]), 6) AS m
+  FROM lasg{it}, LATERAL unnest(generate_series(1, len(e))) t(i)
+  GROUP BY c_id, i
 ),
-asg AS (
-  SELECT b.vec_id, b.e, b.nrm, c.c_id,
-         row_number() OVER (
-           PARTITION BY b.vec_id
-           ORDER BY round(list_dot_product(b.e, c.ce) / (b.nrm * c.cn), 6) DESC,
-                    c.c_id ASC
-         ) AS rn
-  FROM base b CROSS JOIN cents c
-),
-data AS (SELECT vec_id, e, nrm, c_id AS cell FROM asg WHERE rn = 1),
+newc{it} AS (SELECT c_id, list(m ORDER BY d) AS ce FROM mean{it} GROUP BY c_id),
+{cur} AS (
+  SELECT c0.c_id, coalesce(n.ce, c0.ce) AS ce,
+         sqrt(list_dot_product(coalesce(n.ce, c0.ce), coalesce(n.ce, c0.ce))) AS cn
+  FROM {prev} c0 LEFT JOIN newc{it} n USING (c_id)
+)"""
+        )
+    final = f"cents{n_iters}"
+    ctes.append(_ivf_assign_cte("dasg", final, "rn = 1"))
+    ctes.append(_ivf_assign_cte("qasg", final, f"rn <= {n_probe}"))
+    return (
+        _EMB_BASE
+        + ",\n"
+        + ",\n".join(ctes)
+        + f""",
+data AS (SELECT vec_id, e, nrm, c_id AS cell FROM dasg),
 qs AS (
   SELECT vec_id AS q_id, e AS qe, nrm AS qn, c_id AS q_cell
-  FROM asg WHERE rn <= {n_probe} AND vec_id % {query_mod} = 0
+  FROM qasg WHERE vec_id % {query_mod} = 0
 ),
 pairs AS (
   SELECT q.q_id, d.vec_id,
@@ -617,6 +748,49 @@ def hard_negatives_sql(k: int = 10, top_n: int = 100) -> str:
 SELECT r.qid, r.doc_id, r.rank, r.score
 FROM run r ANTI JOIN qrels q ON r.qid = q.qid AND r.doc_id = q.doc_id
 WHERE r.rank <= {top_n}
+"""
+    )
+
+
+def quantized_query_terms_sql(scale: int = 50, clip: int = 255) -> str:
+    """Query-side quantization twin (retrieval.quantized_query_terms;
+    reference inference_q_SPLADE.py:13,60)."""
+    return (
+        BM25_CTES
+        + f"""
+SELECT qid, term, CAST(least(q_tf * {scale}, {clip}) AS INTEGER) AS q_w
+FROM qterms
+"""
+    )
+
+
+def quantized_run_sql(k: int, doc_scale: int = 100, q_scale: int = 50) -> str:
+    """Quantized-arithmetic run twin (engine.bm25_run_quantized /
+    index_query.search_quantized): integer sum(q_w * d_w). The doc
+    side uses round() (= codec.quantize's rint except at exact .5
+    ties, which BM25 impacts never hit in float64)."""
+    return (
+        BM25_CTES
+        + f""",
+postq AS (
+  SELECT term, doc_id,
+         CAST(least(round(impact * {doc_scale}), 255) AS INTEGER) AS d_w
+  FROM post
+  WHERE CAST(least(round(impact * {doc_scale}), 255) AS INTEGER) > 0
+),
+qtq AS (
+  SELECT qid, term, CAST(least(q_tf * {q_scale}, 255) AS INTEGER) AS q_w
+  FROM qterms
+),
+scoredq AS (
+  SELECT q.qid, p.doc_id, CAST(sum(q.q_w * p.d_w) AS BIGINT) AS score
+  FROM postq p JOIN qtq q USING (term)
+  GROUP BY q.qid, p.doc_id
+  HAVING sum(q.q_w * p.d_w) > 0
+)
+SELECT qid, doc_id, score,
+       CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+FROM scoredq QUALIFY rank <= {k}
 """
     )
 

@@ -46,6 +46,34 @@ def derive_qrels(documents: DataFrame) -> DataFrame:
     )
 
 
+GRADE_OFFSETS = [(0, 3), (1, 1), (2, 0)]  # (doc_id offset from qid, grade)
+
+
+def derive_qrels_graded(documents: DataFrame) -> DataFrame:
+    """(qid, doc_id, rel): TREC-style graded judgments — the source
+    doc is highly relevant (3), its successor marginally relevant (1),
+    the next judged non-relevant (0); offsets pointing past the corpus
+    are dropped. Deterministic and mirrored in SQL_QRELS_GRADED."""
+    grades = F.array(
+        *[
+            F.struct(F.lit(o).alias("o"), F.lit(r).alias("rel"))
+            for o, r in GRADE_OFFSETS
+        ]
+    )
+    g = (
+        documents.filter(F.col("doc_id") % QID_STRIDE == 0)
+        .select(F.col("doc_id").alias("qid"), F.explode(grades).alias("g"))
+        .select(
+            "qid",
+            (F.col("qid") + F.col("g.o")).alias("doc_id"),
+            F.col("g.rel").alias("rel"),
+        )
+    )
+    return g.join(documents.select("doc_id"), "doc_id", "left_semi").select(
+        "qid", "doc_id", "rel"
+    )
+
+
 SQL_TOK = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 
 SQL_QUERIES = f"""
@@ -57,4 +85,17 @@ FROM documents WHERE doc_id % {QID_STRIDE} = 0
 SQL_QRELS = f"""
 SELECT doc_id AS qid, doc_id, 1 AS rel
 FROM documents WHERE doc_id % {QID_STRIDE} = 0
+"""
+
+
+def _graded_values() -> str:
+    return ", ".join(f"({o}, {r})" for o, r in GRADE_OFFSETS)
+
+
+SQL_QRELS_GRADED = f"""
+SELECT qid, doc_id, rel FROM (
+  SELECT q.doc_id AS qid, q.doc_id + o.o AS doc_id, o.rel
+  FROM documents q, (VALUES {_graded_values()}) o(o, rel)
+  WHERE q.doc_id % {QID_STRIDE} = 0
+) g WHERE doc_id IN (SELECT doc_id FROM documents)
 """
