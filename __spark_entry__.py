@@ -310,6 +310,37 @@ def q_composed_text(spark, sf_dir):
     return compose_doc_text(load_documents(spark, sf_dir))
 
 
+def q_composed_text_beir(spark, sf_dir):
+    from splade_spark.sources.pages import compose_doc_text_beir
+
+    return compose_doc_text_beir(load_documents(spark, sf_dir))
+
+
+def q_pages_extract(spark, sf_dir):
+    """html -> text extraction over the pages-shaped table; byte
+    identity with the stored text per url is the north-rule invariant."""
+    from splade_spark.sources.pages import extract_text_from_html, load_pages
+
+    return extract_text_from_html(load_pages(spark, sf_dir))
+
+
+def q_vector_roundtrip(spark, sf_dir):
+    """Write the quantized JSONL.gz export, re-scan it, explode the
+    vector maps — must equal the quantized posting relation."""
+    import tempfile
+
+    from splade_spark.sources.sinks import (
+        read_vectors_jsonl_gz,
+        vector_export_df,
+        write_vectors_jsonl_gz,
+    )
+
+    docs = load_documents(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="vec_rt_") + "/shards"
+    write_vectors_jsonl_gz(vector_export_df(docs, logical_postings(docs)), path)
+    return read_vectors_jsonl_gz(spark, path).withColumnRenamed("iq", "impact_q")
+
+
 def q_vector_export(spark, sf_dir):
     from splade_spark.sources.sinks import vector_export_df
 
@@ -349,6 +380,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_quantized": q_bm25_topk_quantized,
         "index_search_quantized": q_index_search_quantized,
         "composed_text": q_composed_text,
+        "composed_text_beir": q_composed_text_beir,
+        "pages_extract": q_pages_extract,
+        "vector_roundtrip": q_vector_roundtrip,
         "vector_export": q_vector_export,
         "run_with_urls": q_run_with_urls,
         "trec_run_lines": q_trec_run_lines,
@@ -396,6 +430,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_quantized": sql_oracle.quantized_run_sql(1000),
         "index_search_quantized": sql_oracle.quantized_run_sql(1000),
         "composed_text": sql_oracle.COMPOSED_TEXT_SQL,
+        "composed_text_beir": sql_oracle.COMPOSED_TEXT_BEIR_SQL,
+        "pages_extract": sql_oracle.PAGES_EXTRACT_SQL,
+        "vector_roundtrip": sql_oracle.quantized_vectors_sql(100),
         "vector_export": sql_oracle.vector_export_sql(100),
         "run_with_urls": sql_oracle.run_with_urls_sql(TOPK_K),
         "trec_run_lines": sql_oracle.trec_run_sql(TOPK_K),

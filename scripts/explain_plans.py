@@ -92,6 +92,39 @@ def main() -> None:
         "single-query top-k is TakeOrderedAndProject, not a window.",
     ))
 
+    from splade_spark.operators.index_query import search_quantized
+    from splade_spark.operators.maxscore import search_maxscore_fused
+
+    sections.append((
+        "search_quantized (integer scoring on uint8 quant_bytes)",
+        formatted(search_quantized(spark, idx_dir, qs)),
+        "What to check: same doubly-pruned scan shape as search, but the "
+        "decode kernel reads quant_bytes (uint8, 4x fewer bytes/posting than "
+        "float64 impacts) and the aggregate is an integer sum — PISA's "
+        "scoring arithmetic, hash-exact across engines.",
+    ))
+
+    sections.append((
+        "search_maxscore_fused (driver-side pruning passes → ONE pruned scan)",
+        formatted(search_maxscore_fused(spark, idx_dir, qr)),
+        "What to check: the champion-floor and block-UB passes ran on the "
+        "DRIVER (pyarrow metadata reads — they are invisible here); the "
+        "distributed plan is just the retained-block scan (bucket partition "
+        "filter AND per-term block_id IN-lists pushed to parquet), one "
+        "mapInPandas kernel, one exchange, top-k. Compare with the ~12-stage "
+        "all-DataFrame search_maxscore plan this replaces for driver-resident "
+        "queries.",
+    ))
+
+    sections.append((
+        "embedding_dup_pairs (LSH-bucketed near-dup candidates)",
+        formatted(m.q_emb_dup(spark, SF_DIR)),
+        "What to check: the self-join keys on `bucket` equality — a "
+        "BroadcastHashJoin/SortMergeJoin, NOT the BroadcastNestedLoopJoin "
+        "cartesian the round-1 theta-join compiled to; exact cosine runs "
+        "only within buckets.",
+    ))
+
     sections.append((
         "exact_dedup (hash-groupBy canonicalization)",
         formatted(m.q_exact_dedup(spark, SF_DIR)),

@@ -61,8 +61,11 @@ def cmd_index(args) -> None:
 
 
 def cmd_query(args) -> None:
-    from splade_spark.operators.index_query import search
-    from splade_spark.operators.maxscore import search_maxscore
+    from splade_spark.operators.index_query import search, search_quantized
+    from splade_spark.operators.maxscore import (
+        search_maxscore,
+        search_maxscore_fused,
+    )
     from splade_spark.sources.pages import read_tsv_queries
     from splade_spark.sources.sinks import write_trec_run
 
@@ -71,9 +74,17 @@ def cmd_query(args) -> None:
         queries = read_tsv_queries(spark, args.queries)
     else:
         queries = spark.read.parquet(args.queries)
-    fn = search_maxscore if args.prune else search
     t0 = time.time()
-    run = fn(spark, args.index_dir, queries, k=args.k)
+    if args.fused:
+        # driver-resident pruned path: both MaxScore passes on the
+        # driver, one pruned scan on the cluster
+        qrows = [(r.qid, r.text) for r in queries.collect()]
+        run = search_maxscore_fused(spark, args.index_dir, qrows, k=args.k)
+    elif args.quantized:
+        run = search_quantized(spark, args.index_dir, queries, k=args.k)
+    else:
+        fn = search_maxscore if args.prune else search
+        run = fn(spark, args.index_dir, queries, k=args.k)
     if args.out:
         write_trec_run(run, args.out)
         n = spark.read.text(args.out).count()
@@ -84,6 +95,23 @@ def cmd_query(args) -> None:
             {"cmd": "query", "rows": n, "wall_sec": round(time.time() - t0, 3)}
         )
     )
+
+
+def cmd_export_pisa(args) -> None:
+    """Export the corpus's quantized index in the reference's PISA
+    binary interchange format (index2pisa.py parity)."""
+    from splade_spark.engine import logical_postings
+    from splade_spark.sources.pages import load_table
+    from splade_spark.sources.sinks import write_pisa_index
+
+    spark = _spark(args)
+    if args.input.endswith(".parquet"):
+        docs = spark.read.parquet(args.input)
+    else:
+        docs = load_table(spark, args.input, args.table)
+    docs = docs.select("doc_id", "text")
+    stats = write_pisa_index(docs, logical_postings(docs), args.output)
+    print(json.dumps({"cmd": "export-pisa", **stats}))
 
 
 def cmd_bench(args) -> None:
@@ -115,15 +143,36 @@ def main(argv=None) -> None:
     pq.add_argument("--queries", required=True, help="tsv (qid\\ttext) or parquet")
     pq.add_argument("--k", type=int, default=1000)
     pq.add_argument("--prune", action="store_true", help="MaxScore pruning")
+    pq.add_argument(
+        "--fused",
+        action="store_true",
+        help="driver-side MaxScore passes, one pruned cluster scan",
+    )
+    pq.add_argument(
+        "--quantized",
+        action="store_true",
+        help="integer scoring on uint8 quant_bytes (PISA arithmetic)",
+    )
     pq.add_argument("--out", help="TREC run output dir")
     pq.add_argument("--cores", type=int)
+
+    pe = sub.add_parser("export-pisa")
+    pe.add_argument("--input", required=True, help="parquet path or sf dir")
+    pe.add_argument("--table", default="documents")
+    pe.add_argument("--output", required=True, help="output file prefix")
+    pe.add_argument("--cores", type=int)
 
     pb = sub.add_parser("bench")
     pb.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     pb.add_argument("--cores", type=int)
 
     args = p.parse_args(argv)
-    {"index": cmd_index, "query": cmd_query, "bench": cmd_bench}[args.cmd](args)
+    {
+        "index": cmd_index,
+        "query": cmd_query,
+        "export-pisa": cmd_export_pisa,
+        "bench": cmd_bench,
+    }[args.cmd](args)
 
 
 if __name__ == "__main__":

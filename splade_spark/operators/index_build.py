@@ -162,32 +162,47 @@ def finalize_index(
     block_size: int = BLOCK_SIZE,
     salt_unit: int = DEFAULT_SALT_UNIT,
 ) -> Manifest:
-    """Stage B: N-way segment merge -> stats, term_dict, postings."""
+    """Stage B: N-way segment merge -> stats, term_dict, postings.
+
+    Resumable at SUB-STEP granularity: stats -> term_dict -> postings
+    -> the final term_max rewrite each commit their own manifest
+    snapshot, so a job killed mid-finalize re-runs only the steps
+    after the last committed one (north rule: every stage of the DAG
+    checkpointed with lineage)."""
     man = Manifest.load(index_dir)
-    if "index" in man.committed("finalize"):
+    done = man.committed("finalize")
+    if "index" in done:
         return man
     t0 = time.time()
     seg_glob = os.path.join(index_dir, "segments", "*")
     terms = spark.read.parquet(os.path.join(seg_glob, "terms"))
     lens = spark.read.parquet(os.path.join(seg_glob, "docs"))
 
-    # --- global stats + docs dimension table in ONE job --------------------
+    # --- step 1: global stats + docs dimension table in ONE job ------------
     # (stats piggyback on the docs write via observe())
-    obs = Observation("corpus_stats")
-    (
-        lens.observe(
-            obs,
-            F.count(F.lit(1)).alias("n_docs"),
-            F.avg("dl").alias("avgdl"),
+    stats_path = os.path.join(index_dir, "stats.json")
+    if "stats" not in done:
+        ts = time.time()
+        obs = Observation("corpus_stats")
+        (
+            lens.observe(
+                obs,
+                F.count(F.lit(1)).alias("n_docs"),
+                F.avg("dl").alias("avgdl"),
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(index_dir, "docs"))
         )
-        .write.mode("overwrite")
-        .parquet(os.path.join(index_dir, "docs"))
-    )
-    n_docs, avgdl = int(obs.get["n_docs"]), float(obs.get["avgdl"])
-    with open(os.path.join(index_dir, "stats.json"), "w") as f:
-        json.dump({"n_docs": n_docs, "avgdl": avgdl, "n_buckets": n_buckets}, f)
+        n_docs, avgdl = int(obs.get["n_docs"]), float(obs.get["avgdl"])
+        with open(stats_path, "w") as f:
+            json.dump({"n_docs": n_docs, "avgdl": avgdl, "n_buckets": n_buckets}, f)
+        man.commit("finalize", "stats", rows=n_docs, wall_ms=int((time.time() - ts) * 1000))
+    else:
+        with open(stats_path) as f:
+            st = json.load(f)
+        n_docs, avgdl = int(st["n_docs"]), float(st["avgdl"])
 
-    # --- term dictionary ---------------------------------------------------
+    # --- step 2: term dictionary -------------------------------------------
     # Dense term ids by deterministic (bucket, term) order (replaces
     # the reference's first-appearance enumeration, index2pisa.py:53-57).
     # bucket is CONTENT-ADDRESSED — pmod(md5(term), n_buckets) — so the
@@ -202,70 +217,85 @@ def finalize_index(
     # Per-bucket windows parallelize across n_buckets; the offset
     # prefix-sum runs over the n_buckets-row count relation (trivial).
     # Ids stay dense in [0, V): bucket-major, term-sorted within.
-    dfs = terms.groupBy("term").agg(F.count("*").cast("long").alias("df"))
-    bucketed = dfs.withColumn(
-        "bucket", F.pmod(md5_int(F.col("term")), F.lit(n_buckets)).cast("int")
-    )
-    bucketed = bucketed.persist()  # feeds the count action + the id join
-    counts = {
-        int(r.bucket): int(r.n)
-        for r in bucketed.groupBy("bucket").agg(F.count("*").alias("n")).collect()
-    }  # n_buckets rows — dictionary METADATA, driver-side by design
-    bases, acc = [], 0
-    for b in sorted(counts):
-        bases.append((b, acc))
-        acc += counts[b]
-    offsets = spark.createDataFrame(bases, "bucket int, base long")
-    in_bucket_w = Window.partitionBy("bucket").orderBy("term")
-    term_dict = bucketed.join(F.broadcast(offsets), "bucket").withColumn(
-        "term_id",
-        (F.col("base") + F.row_number().over(in_bucket_w) - 1).cast("int"),
-    ).select("term", "df", "term_id", "bucket")
-    term_dict.write.mode("overwrite").parquet(os.path.join(index_dir, "term_dict"))
-    bucketed.unpersist()
-    term_dict = spark.read.parquet(os.path.join(index_dir, "term_dict"))
-
-    # --- weighted postings + salted block encode ---------------------------
-    weighted = (
-        terms.join(term_dict, "term")
-        .select(
-            "term_id",
-            "doc_id",
-            "tf",
-            impact_col(
-                F.col("tf"),
-                F.col("dl"),
-                F.col("df"),
-                F.lit(n_docs),
-                F.lit(avgdl),
-            ).alias("impact"),
-            "bucket",
-            F.pmod(
-                "doc_id",
-                F.greatest(
-                    F.ceil(F.col("df") / F.lit(salt_unit)).cast("int"), F.lit(1)
-                ),
-            ).cast("int").alias("salt"),
+    if "term_dict" not in done:
+        ts = time.time()
+        dfs = terms.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+        bucketed = dfs.withColumn(
+            "bucket", F.pmod(md5_int(F.col("term")), F.lit(n_buckets)).cast("int")
         )
-    )
-    # explicit pre-partitioning of the encode shuffle: HashPartitioning
-    # on the exact group keys satisfies the applyInPandas distribution
-    # (no second exchange), and cores*8 partitions keep per-task sorts
-    # small — measured ~20% faster than the shuffle.partitions default,
-    # which AQE can coalesce but never split
-    enc_parts = spark.sparkContext.defaultParallelism * 8
-    blocks = (
-        weighted.repartition(enc_parts, "term_id", "salt")
-        .groupBy("term_id", "salt")
-        .applyInPandas(_encoder(block_size), schema=S.POSTINGS)
-    )
-    (
-        blocks.repartition("bucket")
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(os.path.join(index_dir, "postings"))
-    )
+        bucketed = bucketed.persist()  # feeds the count action + the id join
+        counts = {
+            int(r.bucket): int(r.n)
+            for r in bucketed.groupBy("bucket").agg(F.count("*").alias("n")).collect()
+        }  # n_buckets rows — dictionary METADATA, driver-side by design
+        bases, acc = [], 0
+        for b in sorted(counts):
+            bases.append((b, acc))
+            acc += counts[b]
+        offsets = spark.createDataFrame(bases, "bucket int, base long")
+        in_bucket_w = Window.partitionBy("bucket").orderBy("term")
+        term_dict = bucketed.join(F.broadcast(offsets), "bucket").withColumn(
+            "term_id",
+            (F.col("base") + F.row_number().over(in_bucket_w) - 1).cast("int"),
+        ).select("term", "df", "term_id", "bucket")
+        term_dict.write.mode("overwrite").parquet(os.path.join(index_dir, "term_dict"))
+        bucketed.unpersist()
+        man.commit(
+            "finalize", "term_dict", rows=acc, wall_ms=int((time.time() - ts) * 1000)
+        )
+    term_dict = spark.read.parquet(os.path.join(index_dir, "term_dict")).select(
+        "term", "df", "term_id", "bucket"
+    )  # column-pruned: a resumed run's dict may already carry max_impact
+
+    # --- step 3: weighted postings + salted block encode -------------------
     post_dir = os.path.join(index_dir, "postings")
+    if "postings" not in done:
+        ts = time.time()
+        weighted = (
+            terms.join(term_dict, "term")
+            .select(
+                "term_id",
+                "doc_id",
+                "tf",
+                impact_col(
+                    F.col("tf"),
+                    F.col("dl"),
+                    F.col("df"),
+                    F.lit(n_docs),
+                    F.lit(avgdl),
+                ).alias("impact"),
+                "bucket",
+                F.pmod(
+                    "doc_id",
+                    F.greatest(
+                        F.ceil(F.col("df") / F.lit(salt_unit)).cast("int"), F.lit(1)
+                    ),
+                ).cast("int").alias("salt"),
+            )
+        )
+        # explicit pre-partitioning of the encode shuffle: HashPartitioning
+        # on the exact group keys satisfies the applyInPandas distribution
+        # (no second exchange), and cores*8 partitions keep per-task sorts
+        # small — measured ~20% faster than the shuffle.partitions default,
+        # which AQE can coalesce but never split
+        enc_parts = spark.sparkContext.defaultParallelism * 8
+        blocks = (
+            weighted.repartition(enc_parts, "term_id", "salt")
+            .groupBy("term_id", "salt")
+            .applyInPandas(_encoder(block_size), schema=S.POSTINGS)
+        )
+        (
+            blocks.repartition("bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(post_dir)
+        )
+        man.commit(
+            "finalize",
+            "postings",
+            bytes_=dir_bytes(post_dir),
+            wall_ms=int((time.time() - ts) * 1000),
+        )
     written = spark.read.parquet(post_dir)
 
     # term-level upper bounds (MaxScore metadata): max block_max per
@@ -288,9 +318,14 @@ def finalize_index(
         .parquet(tmp_td)
     )
     n_blocks = int(obs_blk.get["n"] or 0)
+    # backup-rename swap: at no point is term_dict absent-and-lost —
+    # a crash leaves either the old dict or the new one on disk
     final_td = os.path.join(index_dir, "term_dict")
-    shutil.rmtree(final_td, ignore_errors=True)
+    bak_td = final_td + "_bak"
+    shutil.rmtree(bak_td, ignore_errors=True)
+    os.rename(final_td, bak_td)
     os.rename(tmp_td, final_td)
+    shutil.rmtree(bak_td, ignore_errors=True)
     man.commit(
         "finalize",
         "index",

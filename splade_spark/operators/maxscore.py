@@ -52,6 +52,7 @@ def search_maxscore_fused(
     threshold: float = SCORE_THRESHOLD,
     debug_counts: dict | None = None,
     champion_block_limit: int = 50_000,
+    driver_block_limit: int = 256,
 ) -> DataFrame:
     """Minimal-plan Block-Max/MaxScore search for driver-resident
     queries: the pruning passes run DRIVER-SIDE on metadata-scale data
@@ -75,6 +76,14 @@ def search_maxscore_fused(
     If the champion's posting list exceeds ``champion_block_limit``
     blocks, the driver-side floor would stop being metadata-scale —
     fall back to exhaustive ``search_fused``.
+
+    When pruning leaves at most ``driver_block_limit`` blocks, the
+    retained set is scored entirely on the driver (numpy over the
+    already-open pyarrow dataset) and returned as a local relation —
+    zero cluster jobs, the analog of PISA answering a query from one
+    node once Block-Max has shrunk the work below cluster scale.
+    Results are bit-identical to the distributed path (same kernel
+    arithmetic, same 6dp rounding, same tie rule).
     """
     from collections import Counter
 
@@ -236,6 +245,37 @@ def search_maxscore_fused(
     if debug_counts is not None:
         debug_counts["blocks_total"] = total_blocks
         debug_counts["blocks_kept"] = sum(len(v) for v in retained.values())
+
+    # ---- driver fast path: tiny retained set, zero cluster jobs -----
+    n_retained = sum(len(v) for v in retained.values())
+    if 0 < n_retained <= driver_block_limit:
+        ret_pairs = {(t, b) for t, bs in retained.items() for b in bs}
+        ret_dec = fetch_decode(ret_pairs)
+        out_rows = []
+        for qid, rows in q_plan.items():
+            ds, ws = [], []
+            for tid, q_tf, _ in rows:
+                dec = ret_dec.get(tid)
+                if dec is not None:
+                    ds.append(dec[0])
+                    ws.append(q_tf * dec[1])
+            if not ds:
+                continue
+            d = np.concatenate(ds)
+            w = np.concatenate(ws)
+            uniq, inv = np.unique(d, return_inverse=True)
+            totals = np.round(np.bincount(inv, weights=w), 6)
+            keep = totals > threshold
+            scored_q = sorted(
+                zip(uniq[keep].tolist(), totals[keep].tolist()),
+                key=lambda p: (-p[1], p[0]),
+            )[:k]
+            out_rows += [
+                (qid, doc, s, r + 1) for r, (doc, s) in enumerate(scored_q)
+            ]
+        return spark.createDataFrame(
+            out_rows, "qid long, doc_id long, score double, rank int"
+        )
 
     # ---- distributed: ONE pruned scan -> kernel -> agg -> top-k -----
     q_arrs = {

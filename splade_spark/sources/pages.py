@@ -56,6 +56,21 @@ def extract_text(pages: DataFrame) -> DataFrame:
     return pages.select("url", "text", "lang")
 
 
+def extract_text_from_html(pages: DataFrame) -> DataFrame:
+    """(url, extracted): re-derive the text from the html payload by
+    stripping the deterministic wrapper tags. For the synthetic pages
+    table this must be BYTE-IDENTICAL to the stored ``text`` column —
+    the north-rule invariant, oracle-checked (entry pages_extract) and
+    asserted in tests. A production extractor slots in here as a
+    pandas UDF; the wrapper-strip is a JVM regexp (no Python)."""
+    return pages.select(
+        "url",
+        F.regexp_replace(
+            F.decode(F.col("html"), "UTF-8"), "^<html><body>|</body></html>$", ""
+        ).alias("extracted"),
+    )
+
+
 def compose_doc_text(documents: DataFrame, title_col: str = "source") -> DataFrame:
     """Doc-text composition parity: ``"title: {t} | context: {x}"``
     (reference get_doc_text, indexing.py:23-27)."""
@@ -64,6 +79,17 @@ def compose_doc_text(documents: DataFrame, title_col: str = "source") -> DataFra
         F.concat(
             F.lit("title: "), F.col(title_col), F.lit(" | context: "), F.col("text")
         ).alias("composed"),
+    )
+
+
+def compose_doc_text_beir(
+    documents: DataFrame, title_col: str = "source"
+) -> DataFrame:
+    """BeIR composition variant: ``"{title} {text}"``
+    (bmp_inference/inference_all_beir_doc_bmp.py:69)."""
+    return documents.select(
+        "doc_id",
+        F.concat(F.col(title_col), F.lit(" "), F.col("text")).alias("composed"),
     )
 
 

@@ -91,6 +91,21 @@ def write_vectors_jsonl_gz(vectors: DataFrame, path: str) -> None:
     vectors.write.mode("overwrite").option("compression", "gzip").json(path)
 
 
+def read_vectors_jsonl_gz(spark, path: str) -> DataFrame:
+    """Re-scan of exported vector shards (reference analog:
+    index2pisa.py:30-36 re-reads the gzip JSONL it wrote). Returns the
+    exploded (doc_id, term, iq) posting view — vector_json parsed
+    JVM-side with from_json, no Python."""
+    raw = spark.read.schema(
+        "doc_id long, content string, vector_json string"
+    ).json(path)
+    vec = F.from_json("vector_json", "map<string,int>")
+    return (
+        raw.select("doc_id", F.explode(vec).alias("term", "iq"))
+        .select("doc_id", "term", "iq")
+    )
+
+
 def remap_run_urls(run: DataFrame, docs_dim: DataFrame) -> DataFrame:
     """(qid, url, score, rank): internal docid -> external id
     (reference analog: ``self.doc_ids[id_]`` remap,

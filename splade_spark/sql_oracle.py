@@ -815,6 +815,19 @@ SELECT doc_id, 'title: ' || source || ' | context: ' || text AS composed
 FROM documents
 """
 
+COMPOSED_TEXT_BEIR_SQL = """
+SELECT doc_id, source || ' ' || text AS composed
+FROM documents
+"""
+
+# Twin of extract_text_from_html over the synthetic pages table: the
+# wrapper-strip must recover the stored text BYTE-IDENTICALLY per url
+# (the north-rule invariant), so the oracle is simply the text itself.
+PAGES_EXTRACT_SQL = """
+SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url, text AS extracted
+FROM documents
+"""
+
 
 # ---------------------------------------------------------------------------
 # Multimodal twins (functions/multimodal.py — fake md5 decoder)

@@ -100,6 +100,42 @@ def test_resume_skips_committed_segments(spark, tmp_path):
     assert len(Manifest.load(index_dir).snapshots) == len(man3.snapshots)
 
 
+def test_finalize_resumes_per_step(spark, tmp_path):
+    """Finalize sub-steps (stats -> term_dict -> postings -> index)
+    each commit a snapshot; a crash after term_dict must not redo the
+    stats or dictionary work, only postings onward."""
+    import shutil
+
+    index_dir = str(tmp_path / "idx3")
+    docs = load_documents(spark, SF_SMOKE)
+    build_index(docs, index_dir, n_segments=2, n_buckets=8)
+    man = Manifest.load(index_dir)
+    assert {"stats", "term_dict", "postings", "index"} <= man.committed("finalize")
+
+    # simulate a crash between the postings write and its commit:
+    # drop the postings dir and the postings/index snapshots
+    shutil.rmtree(os.path.join(index_dir, "postings"))
+    man.snapshots = [
+        s
+        for s in man.snapshots
+        if not (s["stage"] == "finalize" and s["key"] in ("postings", "index"))
+    ]
+    with open(man.path, "w") as f:
+        json.dump({"snapshots": man.snapshots}, f)
+
+    stats_mtime = os.path.getmtime(os.path.join(index_dir, "stats.json"))
+    finalize_index(spark, index_dir, n_buckets=8)
+    # stats step skipped (file untouched), postings rebuilt, index green
+    assert os.path.getmtime(os.path.join(index_dir, "stats.json")) == stats_mtime
+    man2 = Manifest.load(index_dir)
+    assert {"stats", "term_dict", "postings", "index"} <= man2.committed("finalize")
+    # resumed index answers queries identically to the logical path
+    queries = derive_queries(docs)
+    got = search(spark, index_dir, queries, k=K).count()
+    want = bm25_run(docs, k=K).count()
+    assert got == want
+
+
 def test_single_query_fast_path_matches_batch(spark, built):
     """query_texts=[one text] takes the TakeOrdered path; results must
     equal the batch (window) path row-for-row."""

@@ -71,12 +71,20 @@ def test_fused_maxscore_matches_and_prunes(spark, skewed_index):
     from splade_spark.operators.maxscore import search_maxscore_fused
 
     queries = spark.createDataFrame([(1, "rare common")], "qid long, text string")
-    counts: dict = {}
-    fused = search_maxscore_fused(
-        spark, skewed_index, [(1, "rare common")], k=10, debug_counts=counts
-    ).collect()
-    assert counts["blocks_kept"] / counts["blocks_total"] < 0.5, counts
     exhaustive = search(spark, skewed_index, queries, k=10).collect()
-    assert {(r.doc_id, r.score, r.rank) for r in fused} == {
-        (r.doc_id, r.score, r.rank) for r in exhaustive
-    }
+    # driver fast path (default) AND the distributed pruned-scan branch
+    # (forced with driver_block_limit=0) must both match exactly
+    for limit in (256, 0):
+        counts: dict = {}
+        fused = search_maxscore_fused(
+            spark,
+            skewed_index,
+            [(1, "rare common")],
+            k=10,
+            debug_counts=counts,
+            driver_block_limit=limit,
+        ).collect()
+        assert counts["blocks_kept"] / counts["blocks_total"] < 0.5, counts
+        assert {(r.doc_id, r.score, r.rank) for r in fused} == {
+            (r.doc_id, r.score, r.rank) for r in exhaustive
+        }, limit

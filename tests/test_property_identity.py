@@ -14,6 +14,7 @@ from hypothesis import strategies as st
 
 from splade_spark.operators.index_build import build_index
 from splade_spark.operators.index_query import search, search_fused
+from splade_spark.operators.maxscore import search_maxscore_fused
 from splade_spark.oracle import OracleIndex
 
 WORDS = ["aa", "bb", "cc", "dd", "ee", "ff"]
@@ -50,6 +51,7 @@ def test_compressed_paths_match_oracle(spark, corpus, qtexts):
     for label, run in [
         ("search", search(spark, index_dir, qdf, k=K)),
         ("fused", search_fused(spark, index_dir, qrows, k=K)),
+        ("maxscore_fused", search_maxscore_fused(spark, index_dir, qrows, k=K)),
     ]:
         got: dict[int, list[tuple[int, float]]] = {qid: [] for qid, _ in qrows}
         for r in sorted(run.collect(), key=lambda r: (r.qid, r.rank)):
