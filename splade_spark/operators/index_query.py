@@ -200,6 +200,63 @@ def search_quantized(
     return topk_window(scored, k)
 
 
+def make_score_kernel(q_arrs: dict):
+    """Build the Arrow scoring kernel shared by search_fused and
+    search_maxscore_fused: gap-decode a batch of blocks once, then
+    fan partial products out PER TERM to only the queries containing
+    that term (term -> [(qid, weight)] expansion). The earlier
+    formulation scanned the full decoded batch once per query —
+    O(n_queries x batch) row-visits; this is O(sum over terms of
+    |postings_t| x |queries containing t|), the relational join's
+    work, inside one numpy kernel."""
+    t2q: dict[int, list[tuple[int, float]]] = {}
+    for qid, (tids, ws) in q_arrs.items():
+        for t, w in zip(tids.tolist(), ws.tolist()):
+            t2q.setdefault(int(t), []).append((qid, float(w)))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ns = pdf["n"].to_numpy(dtype=np.int64)
+            doc_ids, impacts = decode_blocks_vectorized(
+                pdf["first_doc_id"].to_numpy(dtype=np.int64),
+                ns,
+                list(pdf["doc_gap_bytes"]),
+                list(pdf["impact_bytes"]),
+            )
+            tid_arr = np.repeat(pdf["term_id"].to_numpy(dtype=np.int64), ns)
+            order = np.argsort(tid_arr, kind="stable")
+            sorted_tids = tid_arr[order]
+            uniq_t, starts = np.unique(sorted_tids, return_index=True)
+            ends = np.append(starts[1:], len(sorted_tids))
+            acc_d: dict[int, list] = {}
+            acc_w: dict[int, list] = {}
+            for t, s, e in zip(uniq_t.tolist(), starts.tolist(), ends.tolist()):
+                hits = t2q.get(int(t))
+                if not hits:
+                    continue
+                seg = order[s:e]
+                d_seg = doc_ids[seg]
+                w_seg = impacts[seg]
+                for qid, qw in hits:
+                    acc_d.setdefault(qid, []).append(d_seg)
+                    acc_w.setdefault(qid, []).append(qw * w_seg)
+            for qid, parts in acc_d.items():
+                d = np.concatenate(parts)
+                w = np.concatenate(acc_w[qid])
+                uniq, inv = np.unique(d, return_inverse=True)
+                yield pd.DataFrame(
+                    {
+                        "qid": np.int64(qid),
+                        "doc_id": uniq,
+                        "partial": np.bincount(inv, weights=w),
+                    }
+                )
+
+    return kernel
+
+
 def search_fused(
     spark: SparkSession,
     index_dir: str,
@@ -255,41 +312,12 @@ def search_fused(
         [t for t in all_terms if t in tid_of], n_buckets
     )
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            ns = pdf["n"].to_numpy(dtype=np.int64)
-            doc_ids, impacts = decode_blocks_vectorized(
-                pdf["first_doc_id"].to_numpy(dtype=np.int64),
-                ns,
-                list(pdf["doc_gap_bytes"]),
-                list(pdf["impact_bytes"]),
-            )
-            tid_arr = np.repeat(pdf["term_id"].to_numpy(dtype=np.int32), ns)
-            for qid, (tids, ws) in q_arrs.items():
-                pos = np.searchsorted(tids, tid_arr)
-                pos = np.clip(pos, 0, len(tids) - 1)
-                hit = tids[pos] == tid_arr
-                if not hit.any():
-                    continue
-                d = doc_ids[hit]
-                w = impacts[hit] * ws[pos[hit]]
-                uniq, inv = np.unique(d, return_inverse=True)
-                yield pd.DataFrame(
-                    {
-                        "qid": np.int64(qid),
-                        "doc_id": uniq,
-                        "partial": np.bincount(inv, weights=w),
-                    }
-                )
-
     postings = load_postings(spark, index_dir)
     pruned = postings.filter(
         F.col("bucket").isin(buckets) & F.col("term_id").isin(hit_terms)
     )
     partials = pruned.select(*_BLOCK_COLS).mapInPandas(
-        kernel, schema="qid long, doc_id long, partial double"
+        make_score_kernel(q_arrs), schema="qid long, doc_id long, partial double"
     )
     scored = (
         partials.groupBy("qid", "doc_id")

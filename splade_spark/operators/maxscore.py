@@ -293,44 +293,16 @@ def search_maxscore_fused(
         return spark.createDataFrame(
             [], "qid long, doc_id long, score double, rank int"
         )
-    from splade_spark.operators.index_query import load_postings, _BLOCK_COLS
-    from splade_spark.operators.index_query import decode_blocks_vectorized as _dbv
-
-    import pandas as pd
-
-    def kernel(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            ns = pdf["n"].to_numpy(dtype=np.int64)
-            doc_ids, impacts = _dbv(
-                pdf["first_doc_id"].to_numpy(dtype=np.int64),
-                ns,
-                list(pdf["doc_gap_bytes"]),
-                list(pdf["impact_bytes"]),
-            )
-            tid_arr = np.repeat(pdf["term_id"].to_numpy(dtype=np.int32), ns)
-            for qid, (tids, ws) in q_arrs.items():
-                pos = np.searchsorted(tids, tid_arr)
-                pos = np.clip(pos, 0, len(tids) - 1)
-                hit = tids[pos] == tid_arr
-                if not hit.any():
-                    continue
-                d = doc_ids[hit]
-                w = impacts[hit] * ws[pos[hit]]
-                uniq, inv = np.unique(d, return_inverse=True)
-                yield pd.DataFrame(
-                    {
-                        "qid": np.int64(qid),
-                        "doc_id": uniq,
-                        "partial": np.bincount(inv, weights=w),
-                    }
-                )
+    from splade_spark.operators.index_query import (
+        _BLOCK_COLS,
+        load_postings,
+        make_score_kernel,
+    )
 
     postings = load_postings(spark, index_dir)
     pruned = postings.filter(F.col("bucket").isin(buckets) & keep_expr)
     partials = pruned.select(*_BLOCK_COLS).mapInPandas(
-        kernel, schema="qid long, doc_id long, partial double"
+        make_score_kernel(q_arrs), schema="qid long, doc_id long, partial double"
     )
     scored = (
         partials.groupBy("qid", "doc_id")
