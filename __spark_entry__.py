@@ -100,6 +100,31 @@ def q_index_search_maxscore_k1000(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def _driver_query_rows(spark: SparkSession, sf_dir: str) -> list[tuple[int, str]]:
+    return [
+        (int(r.qid), r.text)
+        for r in derive_queries(load_documents(spark, sf_dir)).orderBy("qid").collect()
+    ]
+
+
+def q_index_search_fused_k1000(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused driver-resident-query search (one Arrow kernel, one
+    exchange) at k=1000; exhaustive, shares the BM25 SQL twin."""
+    from splade_spark.operators.index_query import search_fused
+
+    idx = _materialized_index(spark, sf_dir)
+    return search_fused(spark, idx, _driver_query_rows(spark, sf_dir), k=1000)
+
+
+def q_index_search_maxscore_fused_k1000(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-side MaxScore passes + one pruned scan at k=1000;
+    lossless, shares the BM25 SQL twin."""
+    from splade_spark.operators.maxscore import search_maxscore_fused
+
+    idx = _materialized_index(spark, sf_dir)
+    return search_maxscore_fused(spark, idx, _driver_query_rows(spark, sf_dir), k=1000)
+
+
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_documents(spark, sf_dir)
     dterms = doc_terms(docs)
@@ -407,6 +432,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_k1000": q_bm25_topk_k1000,
         "index_search_k1000": q_index_search_k1000,
         "index_search_maxscore_k1000": q_index_search_maxscore_k1000,
+        "index_search_fused_k1000": q_index_search_fused_k1000,
+        "index_search_maxscore_fused_k1000": q_index_search_maxscore_fused_k1000,
         "corpus_stats": q_corpus_stats,
         "term_df_top": q_term_df_top,
         "doc_lens": q_doc_lens,
@@ -461,6 +488,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_k1000": sql_oracle.bm25_topk_sql(1000),
         "index_search_k1000": sql_oracle.bm25_topk_sql(1000),
         "index_search_maxscore_k1000": sql_oracle.bm25_topk_sql(1000),
+        "index_search_fused_k1000": sql_oracle.bm25_topk_sql(1000),
+        "index_search_maxscore_fused_k1000": sql_oracle.bm25_topk_sql(1000),
         "corpus_stats": sql_oracle.CORPUS_STATS_SQL,
         "term_df_top": sql_oracle.TERM_DF_TOP_SQL,
         "doc_lens": sql_oracle.DOC_LENS_SQL,
