@@ -291,6 +291,18 @@ def q_multimodal_frames(spark, sf_dir):
     return sample_frames(media).select("media_id", "frame_idx", "offset_s", "frame_hash")
 
 
+def q_url_dedup(spark, sf_dir):
+    from splade_spark.functions.cleaning import synth_messy_urls, url_dedup
+
+    return url_dedup(synth_messy_urls(load_documents(spark, sf_dir)))
+
+
+def q_pii_scrub(spark, sf_dir):
+    from splade_spark.functions.cleaning import pii_scrub, with_pii
+
+    return pii_scrub(with_pii(load_documents(spark, sf_dir)))
+
+
 def q_mine_pairs(spark, sf_dir):
     run, qrels = _run_and_qrels(spark, sf_dir)
     return mining.mine_pairs(run, qrels, top_n=100)
@@ -413,6 +425,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trec_run_lines": q_trec_run_lines,
         "run_json": q_run_json,
         "exact_dedup": q_exact_dedup,
+        "url_dedup": q_url_dedup,
+        "pii_scrub": q_pii_scrub,
         "ngram_jaccard_pairs": q_ngram_jaccard,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh,
@@ -465,6 +479,8 @@ def oracle_sql() -> dict[str, str]:
         "trec_run_lines": sql_oracle.trec_run_sql(TOPK_K),
         "run_json": sql_oracle.run_json_sql(TOPK_K),
         "exact_dedup": sql_oracle.EXACT_DEDUP_SQL,
+        "url_dedup": sql_oracle.URL_DEDUP_SQL,
+        "pii_scrub": sql_oracle.PII_SCRUB_SQL,
         "ngram_jaccard_pairs": sql_oracle.ngram_jaccard_sql(min_jaccard=0.1),
         "minhash_signatures": sql_oracle.minhash_signatures_sql(),
         "minhash_lsh_pairs": sql_oracle.minhash_lsh_pairs_sql(min_est=0.2),

@@ -820,6 +820,58 @@ SELECT doc_id, source || ' ' || text AS composed
 FROM documents
 """
 
+# ---------------------------------------------------------------------------
+# Cleaning twins (functions/cleaning.py)
+# ---------------------------------------------------------------------------
+
+_URL_VARIANTS_DUCK = (
+    " CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTP://' END ||"
+    " CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END ||"
+    " CASE WHEN doc_id % 5 = 0 THEN 'ExAmple' ELSE 'example' END ||"
+    " CAST(CAST(floor(doc_id / 2) AS INTEGER) % 7 AS VARCHAR) || '.com/p/' ||"
+    " CAST(CAST(floor(doc_id / 2) AS INTEGER) AS VARCHAR) ||"
+    " CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END ||"
+    " CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END"
+)
+
+URL_DEDUP_SQL = f"""
+WITH urls AS (SELECT doc_id, {_URL_VARIANTS_DUCK} AS url FROM documents),
+normed AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             lower(url), '^https?://', ''), '^www\\.', ''), '#.*$', ''),
+             '/$', '') AS url_norm
+  FROM urls
+)
+SELECT doc_id, url_norm,
+       min(doc_id) OVER (PARTITION BY url_norm) AS canonical_id,
+       CAST(doc_id != min(doc_id) OVER (PARTITION BY url_norm) AS INT) AS is_dup
+FROM normed
+"""
+
+from splade_spark.functions.cleaning import (  # noqa: E402
+    EMAIL_RE,
+    IPV4_RE,
+    PHONE_RE,
+)
+
+PII_SCRUB_SQL = f"""
+WITH withpii AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+              || ' tel +1-555-010' || CAST(doc_id % 10 AS VARCHAR)
+              || ' ip 10.0.0.' || CAST(doc_id % 256 AS VARCHAR) AS text
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(
+           text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+           '{IPV4_RE}', '<IP>', 'g'),
+           '{PHONE_RE}', '<PHONE>', 'g') AS scrubbed
+FROM withpii
+"""
+
+
 # Twin of extract_text_from_html over the synthetic pages table: the
 # wrapper-strip must recover the stored text BYTE-IDENTICALLY per url
 # (the north-rule invariant), so the oracle is simply the text itself.
