@@ -45,6 +45,7 @@ def main() -> None:
     ap.add_argument("scaling_json", nargs="+")
     ap.add_argument("--bench")
     ap.add_argument("--prune", help="scripts/maxscore_prune_bench.py output JSON")
+    ap.add_argument("--codec", help="scripts/codec_size_bench.py output JSON")
     ap.add_argument("--no-calibrate", action="store_true")
     args = ap.parse_args()
 
@@ -181,6 +182,30 @@ def main() -> None:
             "so it is the CLUSTER path for query relations; the fused variant",
             "runs both pruning passes driver-side on metadata-scale pyarrow",
             "scans and ships ONE pruned scan, which is the low-latency path.",
+            "",
+        ]
+
+    if args.codec:
+        with open(args.codec) as f:
+            cz = json.load(f)
+        lines += [
+            "## Posting-block codec footprint",
+            "",
+            f"`scripts/codec_size_bench.py` at `{cz['sf_dir']}`"
+            f" ({cz['n_postings']:,} postings); bytes are the whole",
+            "bucket-partitioned parquet postings dir (snappy on top of the",
+            "block encodings).",
+            "",
+            "| layout | bytes | bytes/posting |",
+            "|---|---|---|",
+            f"| VByte gaps + float64 + uint8 impacts (default) | {cz['vbyte_postings_bytes']:,} | {cz['vbyte_bytes_per_posting']} |",
+            f"| bit-packed gaps + float64 + uint8 impacts | {cz['bitpack_postings_bytes']:,} | {cz['bitpack_bytes_per_posting']} |",
+            f"| bit-packed gaps + uint8 impacts only (PISA-shaped) | {cz['bitpack_qonly_postings_bytes']:,} | **{cz['bitpack_qonly_bytes_per_posting']}** |",
+            "",
+            "The float64 impact payload exists for hash-exact float scoring",
+            "parity; production indexes that score on quantized impacts",
+            "(`search_quantized`, the PISA arithmetic) drop it with",
+            "`store_impacts=False` for ~2.2x smaller postings.",
             "",
         ]
 

@@ -44,6 +44,7 @@ def cmd_index(args) -> None:
         args.index_dir,
         n_segments=args.segments,
         n_buckets=args.buckets,
+        gap_codec=args.gap_codec,
     )
     wall = time.time() - t0
     n_docs = docs.count()
@@ -136,6 +137,12 @@ def main(argv=None) -> None:
     pi.add_argument("--index-dir", required=True)
     pi.add_argument("--segments", type=int, default=4)
     pi.add_argument("--buckets", type=int, default=32)
+    pi.add_argument(
+        "--gap-codec",
+        choices=["vbyte", "bitpack"],
+        default="vbyte",
+        help="doc-gap/tf block layout (bitpack = fixed-width FOR)",
+    )
     pi.add_argument("--cores", type=int)
 
     pq = sub.add_parser("query")

@@ -71,6 +71,40 @@ def vbyte_decode(data: bytes, n: int) -> np.ndarray:
     return np.add.reduceat(shifted, starts)
 
 
+def bitpack_encode(values: np.ndarray) -> bytes:
+    """Fixed-width bit-packing (FOR-style): one header byte = bits per
+    value (the block's max bit length), then the values' low bits
+    packed LSB-first. The per-BLOCK width rides the doc-gap/tf
+    distribution: a dense posting block with gaps < 16 costs 4
+    bits/posting vs VByte's 8 — the 'bit-packed blocks' layout of the
+    north star, selectable per index (gap_codec='bitpack')."""
+    a = np.asarray(values, dtype=np.uint64)
+    if a.size == 0:
+        return b"\x00"
+    w = max(1, int(a.max()).bit_length())
+    shifts = np.arange(w, dtype=np.uint64)
+    bits = ((a[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
+    return bytes([w]) + np.packbits(bits.ravel(), bitorder="little").tobytes()
+
+
+def bitpack_decode(data: bytes, n: int) -> np.ndarray:
+    """Inverse of bitpack_encode; returns uint64[n]."""
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    w = data[0]
+    bits = np.unpackbits(
+        np.frombuffer(data, dtype=np.uint8, offset=1), bitorder="little", count=n * w
+    ).reshape(n, w)
+    shifts = np.arange(w, dtype=np.uint64)
+    return (bits.astype(np.uint64) << shifts).sum(axis=1, dtype=np.uint64)
+
+
+GAP_CODECS = {
+    "vbyte": (vbyte_encode, vbyte_decode),
+    "bitpack": (bitpack_encode, bitpack_decode),
+}
+
+
 def quantize(impacts: np.ndarray, scale: int = DOC_SCALE) -> np.ndarray:
     """uint8 quantized impacts — np.clip(np.rint(w*scale),0,255)."""
     return np.clip(np.rint(np.asarray(impacts, dtype=np.float64) * scale), 0, 255).astype(
@@ -84,11 +118,20 @@ def encode_posting_blocks(
     impacts: np.ndarray,
     block_size: int = BLOCK_SIZE,
     block_id_base: int = 0,
+    gap_codec: str = "vbyte",
+    store_impacts: bool = True,
 ):
     """Split one (sorted-by-doc_id) posting run into encoded blocks.
 
     Yields dict rows matching schema.POSTINGS block columns.
+    ``gap_codec`` selects the doc-gap/tf byte layout (GAP_CODECS).
+    ``store_impacts=False`` drops the float64 impact payload (8
+    bytes/posting — the dominant footprint) and keeps only the uint8
+    quantized impacts, exactly what the reference's PISA export
+    carries (index2pisa.py:42-48); such an index serves the quantized
+    scoring path only.
     """
+    enc, _ = GAP_CODECS[gap_codec]
     order = np.argsort(doc_ids, kind="stable")
     doc_ids = np.asarray(doc_ids, dtype=np.int64)[order]
     tfs = np.asarray(tfs, dtype=np.int64)[order]
@@ -105,9 +148,9 @@ def encode_posting_blocks(
             "first_doc_id": int(d[0]),
             "last_doc_id": int(d[-1]),
             "n": int(len(d)),
-            "doc_gap_bytes": vbyte_encode(gaps.astype(np.uint64)),
-            "tf_bytes": vbyte_encode(t.astype(np.uint64)),
-            "impact_bytes": w.tobytes(),
+            "doc_gap_bytes": enc(gaps.astype(np.uint64)),
+            "tf_bytes": enc(t.astype(np.uint64)),
+            "impact_bytes": w.tobytes() if store_impacts else b"",
             "quant_bytes": quantize(w).tobytes(),
             "block_max": float(w.max()),
         }

@@ -119,7 +119,7 @@ def build_segments(
     return man
 
 
-def _encoder(block_size: int):
+def _encoder(block_size: int, gap_codec: str = "vbyte", store_impacts: bool = True):
     def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
         term_id = int(pdf["term_id"].iloc[0])
         bucket = int(pdf["bucket"].iloc[0])
@@ -131,6 +131,8 @@ def _encoder(block_size: int):
                 pdf["impact"].to_numpy(),
                 block_size=block_size,
                 block_id_base=salt * _BLOCK_ID_STRIDE,
+                gap_codec=gap_codec,
+                store_impacts=store_impacts,
             )
         )
         out = pd.DataFrame(rows)
@@ -161,6 +163,8 @@ def finalize_index(
     n_buckets: int = DEFAULT_BUCKETS,
     block_size: int = BLOCK_SIZE,
     salt_unit: int = DEFAULT_SALT_UNIT,
+    gap_codec: str = "vbyte",
+    store_impacts: bool = True,
 ) -> Manifest:
     """Stage B: N-way segment merge -> stats, term_dict, postings.
 
@@ -195,12 +199,24 @@ def finalize_index(
         )
         n_docs, avgdl = int(obs.get["n_docs"]), float(obs.get["avgdl"])
         with open(stats_path, "w") as f:
-            json.dump({"n_docs": n_docs, "avgdl": avgdl, "n_buckets": n_buckets}, f)
+            json.dump(
+                {
+                    "n_docs": n_docs,
+                    "avgdl": avgdl,
+                    "n_buckets": n_buckets,
+                    "gap_codec": gap_codec,
+                    "store_impacts": store_impacts,
+                },
+                f,
+            )
         man.commit("finalize", "stats", rows=n_docs, wall_ms=int((time.time() - ts) * 1000))
     else:
         with open(stats_path) as f:
             st = json.load(f)
         n_docs, avgdl = int(st["n_docs"]), float(st["avgdl"])
+        # a resumed finalize keeps the codec the committed stats declared
+        gap_codec = st.get("gap_codec", gap_codec)
+        store_impacts = st.get("store_impacts", store_impacts)
 
     # --- step 2: term dictionary -------------------------------------------
     # Dense term ids by deterministic (bucket, term) order (replaces
@@ -282,7 +298,9 @@ def finalize_index(
         blocks = (
             weighted.repartition(enc_parts, "term_id", "salt")
             .groupBy("term_id", "salt")
-            .applyInPandas(_encoder(block_size), schema=S.POSTINGS)
+            .applyInPandas(
+                _encoder(block_size, gap_codec, store_impacts), schema=S.POSTINGS
+            )
         )
         (
             blocks.repartition("bucket")
@@ -343,9 +361,17 @@ def build_index(
     n_buckets: int = DEFAULT_BUCKETS,
     block_size: int = BLOCK_SIZE,
     salt_unit: int = DEFAULT_SALT_UNIT,
+    gap_codec: str = "vbyte",
+    store_impacts: bool = True,
 ) -> Manifest:
     spark = documents.sparkSession
     build_segments(documents, index_dir, n_segments)
     return finalize_index(
-        spark, index_dir, n_buckets=n_buckets, block_size=block_size, salt_unit=salt_unit
+        spark,
+        index_dir,
+        n_buckets=n_buckets,
+        block_size=block_size,
+        salt_unit=salt_unit,
+        gap_codec=gap_codec,
+        store_impacts=store_impacts,
     )

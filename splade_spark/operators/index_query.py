@@ -37,6 +37,17 @@ def load_stats(index_dir: str) -> dict:
         return json.load(f)
 
 
+def require_impacts(stats: dict) -> None:
+    """Float-scoring paths need the float64 impact payload; a
+    quantized-only index (store_impacts=False) serves search_quantized
+    only — fail loudly instead of scoring empty byte columns."""
+    if not stats.get("store_impacts", True):
+        raise ValueError(
+            "index was built quantized-only (store_impacts=False); "
+            "float-impact search is unavailable — use search_quantized"
+        )
+
+
 def buckets_for_terms(terms: list[str], n_buckets: int) -> list[int]:
     """Partition-prune literals from raw query tokens — pure Python
     (bucket is content-addressed: pmod(md5(term), n_buckets)), so a
@@ -70,15 +81,31 @@ def load_postings(spark: SparkSession, index_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(index_dir, "postings"))
 
 
-def decode_doc_ids_vectorized(
-    first_ids: np.ndarray, ns: np.ndarray, gap_bytes: list
+def decode_gaps_many(
+    ns: np.ndarray, gap_bytes: list, gap_codec: str = "vbyte"
 ) -> np.ndarray:
-    """Gap-decode MANY blocks' doc ids in one vectorized pass. VByte
-    values never cross block boundaries, so the concatenated byte
-    stream decodes as one sequence; ids come from a segmented cumsum
-    of the gaps."""
-    n_total = int(ns.sum())
-    gaps = vbyte_decode(b"".join(gap_bytes), n_total).astype(np.int64)
+    """Decode many blocks' gap sequences into one array. VByte values
+    never cross block boundaries, so the concatenated byte stream
+    decodes as ONE sequence; bit-packed blocks carry a per-block width
+    header, so they decode per block."""
+    if len(ns) == 0:
+        return np.zeros(0, dtype=np.uint64)
+    if gap_codec == "vbyte":
+        return vbyte_decode(b"".join(gap_bytes), int(ns.sum()))
+    from splade_spark.functions.codec import GAP_CODECS
+
+    dec = GAP_CODECS[gap_codec][1]
+    return np.concatenate(
+        [dec(g, int(n)) for g, n in zip(gap_bytes, ns)]
+    )
+
+
+def decode_doc_ids_vectorized(
+    first_ids: np.ndarray, ns: np.ndarray, gap_bytes: list, gap_codec: str = "vbyte"
+) -> np.ndarray:
+    """Gap-decode MANY blocks' doc ids in one vectorized pass; ids
+    come from a segmented cumsum of the gaps."""
+    gaps = decode_gaps_many(ns, gap_bytes, gap_codec).astype(np.int64)
     ends = np.cumsum(ns)
     starts = ends - ns
     g = np.cumsum(gaps)
@@ -87,10 +114,14 @@ def decode_doc_ids_vectorized(
 
 
 def decode_blocks_vectorized(
-    first_ids: np.ndarray, ns: np.ndarray, gap_bytes: list, impact_bytes: list
+    first_ids: np.ndarray,
+    ns: np.ndarray,
+    gap_bytes: list,
+    impact_bytes: list,
+    gap_codec: str = "vbyte",
 ) -> tuple[np.ndarray, np.ndarray]:
     """(doc_ids, float64 impacts) across many blocks at once."""
-    doc_ids = decode_doc_ids_vectorized(first_ids, ns, gap_bytes)
+    doc_ids = decode_doc_ids_vectorized(first_ids, ns, gap_bytes, gap_codec)
     impacts = np.frombuffer(b"".join(impact_bytes), dtype=np.float64)
     return doc_ids, impacts
 
@@ -99,68 +130,79 @@ DECODED_SCHEMA = "term_id int, block_id int, doc_id long, impact double"
 _BLOCK_COLS = ["term_id", "block_id", "first_doc_id", "n", "doc_gap_bytes", "impact_bytes"]
 
 
-def _decode_postings(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _make_decode_postings(gap_codec: str):
     """Arrow-batch block decode -> (term_id, block_id, doc_id, impact).
 
     Each block is decoded ONCE regardless of how many queries touch
     its term; the query fan-out happens afterwards as a JVM-side
     broadcast join (codegen), not in Python."""
-    for pdf in batches:
-        if len(pdf) == 0:
-            continue
-        ns = pdf["n"].to_numpy(dtype=np.int64)
-        doc_ids, impacts = decode_blocks_vectorized(
-            pdf["first_doc_id"].to_numpy(dtype=np.int64),
-            ns,
-            list(pdf["doc_gap_bytes"]),
-            list(pdf["impact_bytes"]),
-        )
-        yield pd.DataFrame(
-            {
-                "term_id": np.repeat(pdf["term_id"].to_numpy(dtype=np.int32), ns),
-                "block_id": np.repeat(pdf["block_id"].to_numpy(dtype=np.int32), ns),
-                "doc_id": doc_ids,
-                "impact": impacts,
-            }
-        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ns = pdf["n"].to_numpy(dtype=np.int64)
+            doc_ids, impacts = decode_blocks_vectorized(
+                pdf["first_doc_id"].to_numpy(dtype=np.int64),
+                ns,
+                list(pdf["doc_gap_bytes"]),
+                list(pdf["impact_bytes"]),
+                gap_codec,
+            )
+            yield pd.DataFrame(
+                {
+                    "term_id": np.repeat(pdf["term_id"].to_numpy(dtype=np.int32), ns),
+                    "block_id": np.repeat(pdf["block_id"].to_numpy(dtype=np.int32), ns),
+                    "doc_id": doc_ids,
+                    "impact": impacts,
+                }
+            )
+
+    return run
 
 
-def decode_blocks_df(blocks: DataFrame) -> DataFrame:
+def decode_blocks_df(blocks: DataFrame, gap_codec: str = "vbyte") -> DataFrame:
     return blocks.select(*_BLOCK_COLS).mapInPandas(
-        _decode_postings, schema=DECODED_SCHEMA
+        _make_decode_postings(gap_codec), schema=DECODED_SCHEMA
     )
 
 
 _BLOCK_COLS_Q = ["term_id", "first_doc_id", "n", "doc_gap_bytes", "quant_bytes"]
 
 
-def _decode_postings_quant(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _make_decode_postings_quant(gap_codec: str):
     """Arrow-batch decode of the uint8 quantized impacts (the PISA
     interchange payload, index2pisa.py:42-48) -> (term_id, doc_id, d_w)."""
-    for pdf in batches:
-        if len(pdf) == 0:
-            continue
-        ns = pdf["n"].to_numpy(dtype=np.int64)
-        doc_ids = decode_doc_ids_vectorized(
-            pdf["first_doc_id"].to_numpy(dtype=np.int64),
-            ns,
-            list(pdf["doc_gap_bytes"]),
-        )
-        d_w = np.frombuffer(b"".join(pdf["quant_bytes"]), dtype=np.uint8).astype(
-            np.int32
-        )
-        yield pd.DataFrame(
-            {
-                "term_id": np.repeat(pdf["term_id"].to_numpy(dtype=np.int32), ns),
-                "doc_id": doc_ids,
-                "d_w": d_w,
-            }
-        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ns = pdf["n"].to_numpy(dtype=np.int64)
+            doc_ids = decode_doc_ids_vectorized(
+                pdf["first_doc_id"].to_numpy(dtype=np.int64),
+                ns,
+                list(pdf["doc_gap_bytes"]),
+                gap_codec,
+            )
+            d_w = np.frombuffer(b"".join(pdf["quant_bytes"]), dtype=np.uint8).astype(
+                np.int32
+            )
+            yield pd.DataFrame(
+                {
+                    "term_id": np.repeat(pdf["term_id"].to_numpy(dtype=np.int32), ns),
+                    "doc_id": doc_ids,
+                    "d_w": d_w,
+                }
+            )
+
+    return run
 
 
-def decode_blocks_quant_df(blocks: DataFrame) -> DataFrame:
+def decode_blocks_quant_df(blocks: DataFrame, gap_codec: str = "vbyte") -> DataFrame:
     return blocks.select(*_BLOCK_COLS_Q).mapInPandas(
-        _decode_postings_quant, schema="term_id int, doc_id long, d_w int"
+        _make_decode_postings_quant(gap_codec),
+        schema="term_id int, doc_id long, d_w int",
     )
 
 
@@ -185,12 +227,13 @@ def search_quantized(
         .select("qid", "term_id", "q_w")
     )
     postings = load_postings(spark, index_dir)
-    n_buckets = load_stats(index_dir)["n_buckets"]
+    stats = load_stats(index_dir)
+    n_buckets = stats["n_buckets"]
     buckets = buckets_for_queries(queries, n_buckets)
     pruned = postings.filter(F.col("bucket").isin(buckets)).join(
         F.broadcast(qtq.select("term_id").distinct()), "term_id", "left_semi"
     )
-    decoded = decode_blocks_quant_df(pruned)
+    decoded = decode_blocks_quant_df(pruned, stats.get("gap_codec", "vbyte"))
     scored = (
         decoded.join(F.broadcast(qtq), "term_id")
         .groupBy("qid", "doc_id")
@@ -200,7 +243,7 @@ def search_quantized(
     return topk_window(scored, k)
 
 
-def make_score_kernel(q_arrs: dict):
+def make_score_kernel(q_arrs: dict, gap_codec: str = "vbyte"):
     """Build the Arrow scoring kernel shared by search_fused and
     search_maxscore_fused: gap-decode a batch of blocks once, then
     fan partial products out PER TERM to only the queries containing
@@ -224,6 +267,7 @@ def make_score_kernel(q_arrs: dict):
                 ns,
                 list(pdf["doc_gap_bytes"]),
                 list(pdf["impact_bytes"]),
+                gap_codec,
             )
             tid_arr = np.repeat(pdf["term_id"].to_numpy(dtype=np.int64), ns)
             order = np.argsort(tid_arr, kind="stable")
@@ -284,7 +328,9 @@ def search_fused(
     from splade_spark.functions.tokenize import py_tokenize
 
     stats = load_stats(index_dir)
+    require_impacts(stats)
     n_buckets = stats["n_buckets"]
+    gap_codec = stats.get("gap_codec", "vbyte")
     qtf: dict[int, Counter] = {
         qid: Counter(py_tokenize(text)) for qid, text in query_rows
     }
@@ -317,7 +363,8 @@ def search_fused(
         F.col("bucket").isin(buckets) & F.col("term_id").isin(hit_terms)
     )
     partials = pruned.select(*_BLOCK_COLS).mapInPandas(
-        make_score_kernel(q_arrs), schema="qid long, doc_id long, partial double"
+        make_score_kernel(q_arrs, gap_codec),
+        schema="qid long, doc_id long, partial double",
     )
     scored = (
         partials.groupBy("qid", "doc_id")
@@ -366,7 +413,9 @@ def search(
     )
     if postings is None:
         postings = load_postings(spark, index_dir)
-    n_buckets = load_stats(index_dir)["n_buckets"]
+    stats = load_stats(index_dir)
+    require_impacts(stats)
+    n_buckets = stats["n_buckets"]
     if query_texts is not None:
         from splade_spark.functions.tokenize import py_tokenize
 
@@ -377,7 +426,7 @@ def search(
     pruned = postings.filter(F.col("bucket").isin(buckets)).join(
         F.broadcast(qt.select("term_id").distinct()), "term_id", "left_semi"
     )
-    decoded = decode_blocks_df(pruned)
+    decoded = decode_blocks_df(pruned, stats.get("gap_codec", "vbyte"))
     scored = (
         decoded.join(F.broadcast(qt), "term_id")
         .groupBy("qid", "doc_id")

@@ -99,6 +99,10 @@ def search_maxscore_fused(
 
     stats = load_stats(index_dir)
     n_buckets = stats["n_buckets"]
+    gap_codec = stats.get("gap_codec", "vbyte")
+    from splade_spark.operators.index_query import require_impacts
+
+    require_impacts(stats)
     from splade_spark.functions.tokenize import py_tokenize
 
     qtf: dict[int, Counter] = {
@@ -169,6 +173,7 @@ def search_maxscore_fused(
             ns,
             list(tbl["doc_gap_bytes"]),
             list(tbl["impact_bytes"]),
+            gap_codec,
         )
         tid_rep = np.repeat(tbl["term_id"].to_numpy(dtype=np.int64), ns)
         for t in {int(x) for x in tbl["term_id"]}:
@@ -302,7 +307,8 @@ def search_maxscore_fused(
     postings = load_postings(spark, index_dir)
     pruned = postings.filter(F.col("bucket").isin(buckets) & keep_expr)
     partials = pruned.select(*_BLOCK_COLS).mapInPandas(
-        make_score_kernel(q_arrs), schema="qid long, doc_id long, partial double"
+        make_score_kernel(q_arrs, gap_codec),
+        schema="qid long, doc_id long, partial double",
     )
     scored = (
         partials.groupBy("qid", "doc_id")
@@ -341,7 +347,12 @@ def search_maxscore(
     # bucket-literal partition pruning (content-addressed buckets —
     # derived from query tokens, no postings/term_dict pre-scan),
     # then per-term semi restriction
-    n_buckets = load_stats(index_dir)["n_buckets"]
+    _stats = load_stats(index_dir)
+    from splade_spark.operators.index_query import require_impacts
+
+    require_impacts(_stats)
+    n_buckets = _stats["n_buckets"]
+    gap_codec = _stats.get("gap_codec", "vbyte")
     buckets = buckets_for_queries(queries, n_buckets)
     blocks = postings.filter(F.col("bucket").isin(buckets)).join(
         F.broadcast(qt.select("term_id").distinct()), "term_id", "left_semi"
@@ -359,7 +370,8 @@ def search_maxscore(
     champ_decoded = decode_blocks_df(
         blocks.join(
             F.broadcast(champions.select("term_id").distinct()), "term_id", "left_semi"
-        )
+        ),
+        gap_codec,
     )
     champ_partials = champ_decoded.join(
         F.broadcast(champions.select("qid", "term_id", "q_tf")), "term_id"
@@ -384,7 +396,7 @@ def search_maxscore(
         "left_semi",
     )
     cand_scores = (
-        decode_blocks_df(cover_blocks)
+        decode_blocks_df(cover_blocks, gap_codec)
         .join(F.broadcast(candidates), "doc_id")
         .join(F.broadcast(qt.select("qid", "term_id", "q_tf")), ["qid", "term_id"])
         .groupBy("qid", "doc_id")
@@ -423,7 +435,7 @@ def search_maxscore(
         "left_semi",
     )
     scored = (
-        decode_blocks_df(retained_blocks)
+        decode_blocks_df(retained_blocks, gap_codec)
         .join(retained_pairs, ["term_id", "block_id"])
         .groupBy("qid", "doc_id")
         .agg(F.round(F.sum(F.col("q_tf") * F.col("impact")), 6).alias("score"))
