@@ -385,6 +385,15 @@ def q_vector_export(spark, sf_dir):
     return vector_export_df(docs, logical_postings(docs))
 
 
+def q_vector_export_bmp(spark, sf_dir):
+    # the reference's OTHER export convention: np.rint quantization
+    # (bmp_inference/inference_all_beir_doc_bmp.py:78)
+    from splade_spark.sources.sinks import vector_export_df
+
+    docs = load_documents(spark, sf_dir)
+    return vector_export_df(docs, logical_postings(docs), rounding="rint")
+
+
 def q_run_with_urls(spark, sf_dir):
     from splade_spark.sources.pages import documents_to_pages
     from splade_spark.sources.sinks import remap_run_urls
@@ -421,6 +430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pages_extract": q_pages_extract,
         "vector_roundtrip": q_vector_roundtrip,
         "vector_export": q_vector_export,
+        "vector_export_bmp": q_vector_export_bmp,
         "run_with_urls": q_run_with_urls,
         "trec_run_lines": q_trec_run_lines,
         "run_json": q_run_json,
@@ -475,6 +485,7 @@ def oracle_sql() -> dict[str, str]:
         "pages_extract": sql_oracle.PAGES_EXTRACT_SQL,
         "vector_roundtrip": sql_oracle.quantized_vectors_sql(100),
         "vector_export": sql_oracle.vector_export_sql(100),
+        "vector_export_bmp": sql_oracle.vector_export_sql(100, rounding="rint"),
         "run_with_urls": sql_oracle.run_with_urls_sql(TOPK_K),
         "trec_run_lines": sql_oracle.trec_run_sql(TOPK_K),
         "run_json": sql_oracle.run_json_sql(TOPK_K),

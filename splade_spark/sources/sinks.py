@@ -54,18 +54,29 @@ def trec_lines_df(run: DataFrame, runid: str = "splade_spark") -> DataFrame:
 
 
 def vector_export_df(
-    documents: DataFrame, postings: DataFrame, scale: int = 100
+    documents: DataFrame,
+    postings: DataFrame,
+    scale: int = 100,
+    rounding: str = "floor",
 ) -> DataFrame:
     """(doc_id, content, vector_json): the reference's quantized JSONL
     export row ``{"id", "content", "vector": {term: int}}``
     (pisa_inference/inference_SPLADE.py:70-72; quantize int(w*scale)
-    clip [0,255], threshold > 0 per index2pisa.py:42-48). int() is
-    TRUNCATION, so the export uses floor — distinct from the in-index
-    quant_bytes convention (codec.quantize rint, the bmp_inference
-    rounding) — each matches its own reference sink byte-for-byte.
+    clip [0,255], threshold > 0 per index2pisa.py:42-48). The
+    reference has TWO quantization conventions and ``rounding``
+    selects which sink is reproduced byte-for-byte:
+
+    - ``"floor"`` (default): int() truncation — the PISA export
+      (inference_SPLADE.py:70);
+    - ``"rint"``: np.rint half-to-even — the BMP export
+      (bmp_inference/inference_all_beir_doc_bmp.py:78), same
+      convention as the in-index quant_bytes (codec.quantize).
+
     Entries are '"term":impact' strings sorted lexicographically so
     the JSON bytes are deterministic across engines."""
-    q = F.least(F.floor(F.col("impact") * scale), F.lit(255)).cast("int")
+    base = F.col("impact") * scale
+    rounded = F.floor(base) if rounding == "floor" else F.round(base)
+    q = F.least(rounded, F.lit(255)).cast("int")
     entries = (
         postings.select("doc_id", "term", q.alias("iq"))
         .filter(F.col("iq") > 0)

@@ -267,15 +267,18 @@ FROM run
     )
 
 
-def vector_export_sql(scale: int = 100) -> str:
+def vector_export_sql(scale: int = 100, rounding: str = "floor") -> str:
     """Quantized JSONL export row twin (sinks.vector_export_df) —
-    floor() mirrors the reference's int() truncation."""
+    floor() mirrors the PISA export's int() truncation, round() the
+    BMP export's np.rint (ties never land exactly on .5 in float64
+    BM25 impacts, so round-half-away == rint here)."""
+    fn = "floor" if rounding == "floor" else "round"
     return (
         BM25_CTES
         + f""",
 qp AS (
   SELECT doc_id, term,
-         CAST(least(floor(impact * {scale}), 255) AS INTEGER) AS iq
+         CAST(least({fn}(impact * {scale}), 255) AS INTEGER) AS iq
   FROM post
 ),
 vec AS (

@@ -46,3 +46,27 @@ def test_cli_index_and_query(spark, tmp_path, capsys):
         for line in spark.read.text(run_dir).toPandas().value
     ]
     assert all(len(line.split(" ")) == 6 for line in lines)
+
+    # fused (driver-side pruning) and quantized variants run the same
+    # queries through their own engines
+    for flag in ("--fused", "--quantized"):
+        cli.main(
+            ["query", "--index-dir", idx, "--queries", str(qtsv), "--k", "5", flag]
+        )
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["rows"] == 10, flag
+
+
+def test_cli_export_pisa(spark, tmp_path, capsys):
+    from splade_spark import cli
+    from splade_spark.sources.sinks import read_pisa_index
+
+    prefix = str(tmp_path / "pisa")
+    cli.main(
+        ["export-pisa", "--input", "/root/testdata/sf0.001", "--output", prefix]
+    )
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_docs"] == 500 and out["n_terms"] > 0
+    back = read_pisa_index(prefix)
+    assert back["n_docs"] == 500
+    assert sum(back["sizes"]) == out["n_postings"]
