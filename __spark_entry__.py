@@ -263,6 +263,12 @@ def q_ann_lsh(spark, sf_dir):
     return ann.lsh_cosine_topk(load_table(spark, sf_dir, "embeddings"), dim=EMB_DIM)
 
 
+def q_ann_lsh_multiprobe(spark, sf_dir):
+    return ann.lsh_cosine_topk(
+        load_table(spark, sf_dir, "embeddings"), dim=EMB_DIM, multi_probe=1
+    )
+
+
 def q_ann_ivf(spark, sf_dir):
     return ann.ivf_cosine_topk(load_table(spark, sf_dir, "embeddings"))
 
@@ -449,6 +455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine,
         "embedding_dup_pairs": q_emb_dup,
         "ann_lsh_topk": q_ann_lsh,
+        "ann_lsh_multiprobe_topk": q_ann_lsh_multiprobe,
         "ann_ivf_topk": q_ann_ivf,
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
@@ -508,6 +515,7 @@ def oracle_sql() -> dict[str, str]:
             min_cos=0.2, dim=EMB_DIM
         ),
         "ann_lsh_topk": sql_oracle.lsh_topk_sql(EMB_DIM),
+        "ann_lsh_multiprobe_topk": sql_oracle.lsh_topk_sql(EMB_DIM, multi_probe=1),
         "ann_ivf_topk": sql_oracle.ivf_topk_sql(),
         "multimodal_features": sql_oracle.multimodal_features_sql(),
         "multimodal_frames": sql_oracle.multimodal_frames_sql(),

@@ -317,9 +317,17 @@ def lsh_cosine_topk(
     k: int = 10,
     n_planes: int = LSH_PLANES,
     dim: int | None = None,
+    multi_probe: int = 0,
 ) -> DataFrame:
     """(q_id, vec_id, cos, rank): approximate top-k — candidates from
-    the query's LSH bucket only, exact cosine within."""
+    the query's LSH bucket, exact cosine within.
+
+    ``multi_probe=1`` additionally probes every Hamming-1 neighbor
+    bucket (each single sign bit flipped): a near neighbor that
+    landed just across one hyperplane is recovered at the cost of
+    n_planes+1 bucket probes instead of 1 — the standard multi-probe
+    LSH recall/cost trade, still an EQUALITY join (each query row
+    explodes into its probe-bucket list; no distance predicate)."""
     sigs = lsh_signatures(embeddings, n_planes, dim=dim)
     base = sigs.join(
         with_norms(embeddings).select("vec_id", "nrm"), "vec_id"
@@ -330,6 +338,17 @@ def lsh_cosine_topk(
         F.col("nrm").alias("q_nrm"),
         F.col("bucket").alias("q_bucket"),
     )
+    if multi_probe:
+        probes = F.array(
+            F.col("q_bucket"),
+            *[
+                F.col("q_bucket").bitwiseXOR(F.lit(1 << p))
+                for p in range(n_planes)
+            ],
+        )
+        qs = qs.select(
+            "q_id", "q_emb", "q_nrm", F.explode(probes).alias("q_bucket")
+        )
     cand = base.join(
         F.broadcast(qs),
         (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("q_id")),

@@ -630,17 +630,29 @@ def _hp_list(plane: int, dim: int) -> str:
 
 
 def lsh_topk_sql(
-    dim: int, query_mod: int = 50, k: int = 10, n_planes: int = LSH_PLANES
+    dim: int,
+    query_mod: int = 50,
+    k: int = 10,
+    n_planes: int = LSH_PLANES,
+    multi_probe: int = 0,
 ) -> str:
     bucket = " + ".join(
         f"CASE WHEN list_dot_product(e, {_hp_list(p, dim)}) > 0 THEN {1 << p} ELSE 0 END"
         for p in range(n_planes)
     )
+    if multi_probe:
+        probe_list = "[qb, " + ", ".join(
+            f"xor(qb, {1 << p})" for p in range(n_planes)
+        ) + "]"
+        qs = f"""qs0 AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn, bucket AS qb FROM sigs WHERE vec_id % {query_mod} = 0),
+qs AS (SELECT q_id, qe, qn, CAST(p AS BIGINT) AS qb FROM qs0, LATERAL unnest({probe_list}) t(p))"""
+    else:
+        qs = f"qs AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn, bucket AS qb FROM sigs WHERE vec_id % {query_mod} = 0)"
     return (
         _EMB_BASE
         + f""",
 sigs AS (SELECT vec_id, e, nrm, ({bucket}) AS bucket FROM base),
-qs AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn, bucket AS qb FROM sigs WHERE vec_id % {query_mod} = 0),
+{qs},
 pairs AS (
   SELECT q.q_id, s.vec_id,
          round(list_dot_product(q.qe, s.e) / (q.qn * s.nrm), 6) AS cos

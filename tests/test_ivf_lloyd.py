@@ -73,6 +73,24 @@ def test_lloyd_beats_seed_recall(spark, clustered):
     assert lloyd_recall >= 0.8, lloyd_recall
 
 
+def test_lsh_multiprobe_improves_recall(spark):
+    """Hamming-1 multi-probe must recover neighbors that landed one
+    sign-flip away — strictly more candidates, higher recall vs exact."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    exact = ann.cosine_topk(emb, k=10).select("q_id", "vec_id")
+    total = exact.count()
+
+    def recall(df):
+        return exact.join(df.select("q_id", "vec_id"), ["q_id", "vec_id"]).count() / total
+
+    # 4 planes -> 16 buckets over 500 vectors: single-bucket probing
+    # sees ~1/16 of the corpus; Hamming-1 probing sees ~5/16
+    r1 = recall(ann.lsh_cosine_topk(emb, k=10, dim=64, n_planes=4))
+    rm = recall(ann.lsh_cosine_topk(emb, k=10, dim=64, n_planes=4, multi_probe=1))
+    assert rm > r1, (r1, rm)
+    assert rm >= 0.4, rm
+
+
 def test_lloyd_centroids_move_toward_cluster_means(spark, clustered):
     # after 2 iterations every true cluster should own >= 1 centroid
     # cell with most of its members assigned there
