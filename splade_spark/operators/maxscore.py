@@ -290,14 +290,21 @@ def search_maxscore_fused(
         )
         for qid, rows in q_plan.items()
     }
-    keep_expr = None
-    for tid, bids in retained.items():
-        e = (F.col("term_id") == tid) & F.col("block_id").isin(sorted(bids))
-        keep_expr = e if keep_expr is None else (keep_expr | e)
-    if keep_expr is None:
+    if not retained:
         return spark.createDataFrame(
             [], "qid long, doc_id long, score double, rank int"
         )
+    n_distinct_blocks = sum(len(tm) for tm in by_term.values())
+    if n_retained >= n_distinct_blocks:
+        # theta fallback retained everything — a per-term IN-list the
+        # size of the whole block set buys nothing and bloats the
+        # filter expression; the term semi-restriction is equivalent
+        keep_expr = F.col("term_id").isin(sorted(retained))
+    else:
+        keep_expr = None
+        for tid, bids in retained.items():
+            e = (F.col("term_id") == tid) & F.col("block_id").isin(sorted(bids))
+            keep_expr = e if keep_expr is None else (keep_expr | e)
     from splade_spark.operators.index_query import (
         _BLOCK_COLS,
         load_postings,
