@@ -34,14 +34,26 @@ K = 5
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
-@given(corpus=corpus_st, qtexts=st.lists(query_st, min_size=1, max_size=2))
-def test_compressed_paths_match_oracle(spark, corpus, qtexts):
+@given(
+    corpus=corpus_st,
+    qtexts=st.lists(query_st, min_size=1, max_size=2),
+    gap_codec=st.sampled_from(["vbyte", "bitpack"]),
+)
+def test_compressed_paths_match_oracle(spark, corpus, qtexts, gap_codec):
     docs = spark.createDataFrame(
         sorted(corpus.items()), "doc_id long, text string"
     )
     oracle = OracleIndex(corpus)
     index_dir = tempfile.mkdtemp(prefix="prop_idx_")
-    build_index(docs, index_dir, n_segments=2, n_buckets=4, block_size=4, salt_unit=8)
+    build_index(
+        docs,
+        index_dir,
+        n_segments=2,
+        n_buckets=4,
+        block_size=4,
+        salt_unit=8,
+        gap_codec=gap_codec,
+    )
 
     qrows = [(100 + i, t) for i, t in enumerate(qtexts)]
     qdf = spark.createDataFrame(qrows, "qid long, text string")
