@@ -115,6 +115,41 @@ def cmd_export_pisa(args) -> None:
     print(json.dumps({"cmd": "export-pisa", **stats}))
 
 
+def cmd_describe(args) -> None:
+    """Index health/summary: corpus stats, codec, vocab/block counts,
+    per-stage lineage from the snapshot manifest."""
+    import os
+
+    from splade_spark.operators.index_query import load_stats
+    from splade_spark.plans.snapshots import Manifest, dir_bytes
+
+    spark = _spark(args)
+    stats = load_stats(args.index_dir)
+    td = spark.read.parquet(os.path.join(args.index_dir, "term_dict"))
+    post = spark.read.parquet(os.path.join(args.index_dir, "postings"))
+    agg = post.selectExpr(
+        "count(*) AS n_blocks", "sum(n) AS n_postings", "max(block_max) AS max_impact"
+    ).first()
+    man = Manifest.load(args.index_dir)
+    stages: dict[str, int] = {}
+    for s in man.snapshots:
+        stages[s["stage"]] = stages.get(s["stage"], 0) + 1
+    print(
+        json.dumps(
+            {
+                "cmd": "describe",
+                **stats,
+                "vocab_size": td.count(),
+                "n_blocks": int(agg.n_blocks),
+                "n_postings": int(agg.n_postings or 0),
+                "max_impact": round(float(agg.max_impact or 0.0), 6),
+                "postings_bytes": dir_bytes(os.path.join(args.index_dir, "postings")),
+                "snapshots": stages,
+            }
+        )
+    )
+
+
 def cmd_bench(args) -> None:
     import os
 
@@ -169,6 +204,10 @@ def main(argv=None) -> None:
     pe.add_argument("--output", required=True, help="output file prefix")
     pe.add_argument("--cores", type=int)
 
+    pd_ = sub.add_parser("describe")
+    pd_.add_argument("--index-dir", required=True)
+    pd_.add_argument("--cores", type=int)
+
     pb = sub.add_parser("bench")
     pb.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     pb.add_argument("--cores", type=int)
@@ -178,6 +217,7 @@ def main(argv=None) -> None:
         "index": cmd_index,
         "query": cmd_query,
         "export-pisa": cmd_export_pisa,
+        "describe": cmd_describe,
         "bench": cmd_bench,
     }[args.cmd](args)
 

@@ -56,6 +56,11 @@ def test_cli_index_and_query(spark, tmp_path, capsys):
         out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert out["rows"] == 10, flag
 
+    cli.main(["describe", "--index-dir", idx])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_docs"] == 500 and out["vocab_size"] > 0
+    assert out["n_postings"] > 0 and out["snapshots"]["finalize"] >= 4
+
 
 def test_cli_export_pisa(spark, tmp_path, capsys):
     from splade_spark import cli
