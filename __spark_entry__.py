@@ -216,6 +216,14 @@ def q_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(load_documents(spark, sf_dir), min_jaccard=0.1)
 
 
+def q_ngram_jaccard_capped(spark, sf_dir):
+    # cap low enough that hot shingles actually drop at this sf —
+    # exercises the broadcast anti-join path against the oracle
+    return dedup.ngram_jaccard_pairs(
+        load_documents(spark, sf_dir), min_jaccard=0.05, max_shingle_df=3
+    )
+
+
 def q_minhash_signatures(spark, sf_dir):
     return dedup.minhash_signatures(load_documents(spark, sf_dir))
 
@@ -444,6 +452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "pii_scrub": q_pii_scrub,
         "ngram_jaccard_pairs": q_ngram_jaccard,
+        "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh,
         "simhash": q_simhash,
@@ -500,6 +509,9 @@ def oracle_sql() -> dict[str, str]:
         "url_dedup": sql_oracle.URL_DEDUP_SQL,
         "pii_scrub": sql_oracle.PII_SCRUB_SQL,
         "ngram_jaccard_pairs": sql_oracle.ngram_jaccard_sql(min_jaccard=0.1),
+        "ngram_jaccard_capped": sql_oracle.ngram_jaccard_sql(
+            min_jaccard=0.05, max_shingle_df=3
+        ),
         "minhash_signatures": sql_oracle.minhash_signatures_sql(),
         "minhash_lsh_pairs": sql_oracle.minhash_lsh_pairs_sql(min_est=0.2),
         "simhash": sql_oracle.simhash_sql(),
