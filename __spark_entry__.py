@@ -256,6 +256,14 @@ def q_fingerprints(spark, sf_dir):
     return textstats.fingerprints(load_documents(spark, sf_dir))
 
 
+def q_dl_histogram(spark, sf_dir):
+    return textstats.dl_histogram(load_documents(spark, sf_dir))
+
+
+def q_term_pmi(spark, sf_dir):
+    return textstats.term_pmi(load_documents(spark, sf_dir))
+
+
 def q_ann_cosine(spark, sf_dir):
     return ann.cosine_topk(load_table(spark, sf_dir, "embeddings"))
 
@@ -461,6 +469,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
+        "dl_histogram": q_dl_histogram,
+        "term_pmi": q_term_pmi,
         "ann_cosine_topk": q_ann_cosine,
         "embedding_dup_pairs": q_emb_dup,
         "ann_lsh_topk": q_ann_lsh,
@@ -522,6 +532,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores": sql_oracle.QUALITY_SQL,
         "lang_id": sql_oracle.LANG_ID_SQL,
         "fingerprints": sql_oracle.FINGERPRINTS_SQL,
+        "dl_histogram": sql_oracle.DL_HISTOGRAM_SQL,
+        "term_pmi": sql_oracle.term_pmi_sql(),
         "ann_cosine_topk": sql_oracle.cosine_topk_sql(),
         "embedding_dup_pairs": sql_oracle.embedding_dup_pairs_sql(
             min_cos=0.2, dim=EMB_DIM

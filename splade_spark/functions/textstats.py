@@ -133,3 +133,77 @@ def fingerprints(documents: DataFrame) -> DataFrame:
         F.expr("bit_xor(h)").alias("fp_xor"),
         F.pmod(F.sum("h"), F.lit(FP_MOD)).cast("long").alias("fp_sum"),
     )
+
+
+DL_BUCKET_W = 10
+
+
+def dl_histogram(documents: DataFrame, width: int = DL_BUCKET_W) -> DataFrame:
+    """(bucket_lo, n_docs): document-length histogram in fixed-width
+    token buckets — the corpus-profiling stat behind chunking/
+    filtering decisions (reference analog: the L0/length stats family,
+    task/evaluator.py:112-113). One narrow groupBy; bucket_lo is the
+    bucket's inclusive lower bound."""
+    dl = F.size(tokens_col(F.col("text")))
+    return (
+        documents.select(
+            (F.floor(dl / width) * width).cast("long").alias("bucket_lo")
+        )
+        .groupBy("bucket_lo")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+PMI_TOP_TERMS = 20
+
+
+def term_pmi(
+    documents: DataFrame, top_n: int = PMI_TOP_TERMS, min_pairs: int = 2
+) -> DataFrame:
+    """(a, b, n_ab, pmi): pointwise mutual information over co-occurring
+    top-df terms — log(N * c_ab / (c_a * c_b)), document-level events.
+
+    Scale: the candidate space is bounded BEFORE the self-join by
+    restricting to the ``top_n`` highest-df terms (broadcast set);
+    the per-doc self-join then touches at most top_n^2 pairs per doc
+    regardless of corpus size. Each (doc, term) is distinct, so pair
+    counts are document frequencies of the pair."""
+    dterms = (
+        documents.select(
+            "doc_id", F.explode(tokens_col(F.col("text"))).alias("term")
+        ).distinct()
+    )
+    dfs = dterms.groupBy("term").agg(F.count("*").alias("df"))
+    top = dfs.orderBy(F.desc("df"), F.asc("term")).limit(top_n)
+    tt = dterms.join(F.broadcast(top), "term")
+    # one-row corpus count stays in the plan (broadcast cross join) —
+    # no driver action during pipeline construction
+    n_docs = documents.agg(F.count("*").alias("n_docs"))
+    pairs = (
+        tt.alias("x")
+        .join(tt.alias("y"), "doc_id")
+        .filter(F.col("x.term") < F.col("y.term"))
+        .groupBy(F.col("x.term").alias("a"), F.col("y.term").alias("b"))
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= min_pairs)
+    )
+    ca = top.select(F.col("term").alias("a"), F.col("df").alias("c_a"))
+    cb = top.select(F.col("term").alias("b"), F.col("df").alias("c_b"))
+    return (
+        pairs.join(F.broadcast(ca), "a")
+        .join(F.broadcast(cb), "b")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "a",
+            "b",
+            "n_ab",
+            F.round(
+                F.log(
+                    F.col("n_docs").cast("double")
+                    * F.col("n_ab")
+                    / (F.col("c_a") * F.col("c_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

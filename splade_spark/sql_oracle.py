@@ -553,6 +553,43 @@ FROM best
 
 LANG_ID_SQL = _lang_id_sql()
 
+DL_HISTOGRAM_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, {SQL_TOK} AS toks FROM documents
+)
+SELECT CAST(floor(len(toks) / 10) * 10 AS BIGINT) AS bucket_lo,
+       count(*) AS n_docs
+FROM tok GROUP BY 1
+"""
+
+
+def term_pmi_sql(top_n: int = 20, min_pairs: int = 2) -> str:
+    """Term co-occurrence PMI twin (textstats.term_pmi)."""
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {SQL_TOK} AS toks FROM documents
+),
+dterms AS (
+  SELECT DISTINCT doc_id, unnest(toks) AS term FROM tok
+),
+dfs AS (SELECT term, count(*) AS df FROM dterms GROUP BY term),
+top AS (SELECT term, df FROM dfs ORDER BY df DESC, term ASC LIMIT {top_n}),
+tt AS (SELECT d.doc_id, d.term FROM dterms d JOIN top t USING (term)),
+n AS (SELECT count(*) AS n_docs FROM documents),
+pairs AS (
+  SELECT x.term AS a, y.term AS b, count(*) AS n_ab
+  FROM tt x JOIN tt y ON x.doc_id = y.doc_id AND x.term < y.term
+  GROUP BY 1, 2 HAVING count(*) >= {min_pairs}
+)
+SELECT p.a, p.b, p.n_ab,
+       round(ln(n.n_docs * p.n_ab * 1.0 / (ca.df * cb.df)), 6) AS pmi
+FROM pairs p
+JOIN top ca ON ca.term = p.a
+JOIN top cb ON cb.term = p.b
+CROSS JOIN n
+"""
+
+
 FINGERPRINTS_SQL = f"""
 WITH tok AS (
   SELECT doc_id, {SQL_TOK} AS toks FROM documents
