@@ -29,7 +29,6 @@ from splade_spark.operators.metrics import (
     ndcg_at_k,
     per_query_metrics,
     recall_at_cutoffs,
-    recall_at_k,
 )
 from splade_spark.operators.retrieval import query_terms
 from splade_spark.sources.pages import compose_doc_text, load_documents, load_table
@@ -163,33 +162,34 @@ def q_query_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return qt.select("qid", "term", F.col("q_tf").cast("long").alias("q_tf"))
 
 
+def q_query_terms_thresholded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query term-frequency threshold (``times[w] > thres``,
+    queries2pisa.py:35-49) actually exercised with min_tf=1 — keeps
+    only repeated query terms."""
+    qt = query_terms(derive_queries(load_documents(spark, sf_dir)), min_tf=1)
+    return qt.select("qid", "term", F.col("q_tf").cast("long").alias("q_tf"))
+
+
 def _run_and_qrels(spark: SparkSession, sf_dir: str):
     docs = load_documents(spark, sf_dir)
     return bm25_run(docs, k=TOPK_K), derive_qrels(docs)
 
 
-def q_mrr10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    run, qrels = _run_and_qrels(spark, sf_dir)
-    return mrr_at_k(run, qrels, k=10)
-
-
-def q_recall10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    run, qrels = _run_and_qrels(spark, sf_dir)
-    return recall_at_k(run, qrels, k=10)
-
-
-def q_recall_cutoffs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-cutoff recall over a k=1000 run (evaluate.py recall cuts)."""
+def q_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL headline eval metrics from ONE k=1000 run — mrr@10 +
+    recall@{10,100,1000} (binary qrels, evaluate.py:11-31) + graded
+    ndcg@10 (the TREC qrel.json path, evaluate.py:53-69) as a single
+    (metric, value) relation. rank <= 10 of the deep run equals a
+    k=10 run exactly (deterministic (-score, doc_id) ranking), and
+    Catalyst reuses the run's exchanges across the union branches."""
     docs = load_documents(spark, sf_dir)
-    return recall_at_cutoffs(
-        bm25_run(docs, k=1000), derive_qrels(docs), ks=(10, 100, 1000)
+    run = bm25_run(docs, k=1000)
+    qrels = derive_qrels(docs)
+    return (
+        mrr_at_k(run, qrels, k=10)
+        .unionAll(ndcg_at_k(run, derive_qrels_graded(docs), k=10))
+        .unionAll(recall_at_cutoffs(run, qrels, ks=(10, 100, 1000)))
     )
-
-
-def q_ndcg10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Graded-judgment NDCG@10 (the reference's TREC qrel.json path)."""
-    docs = load_documents(spark, sf_dir)
-    return ndcg_at_k(bm25_run(docs, k=TOPK_K), derive_qrels_graded(docs), k=10)
 
 
 def q_qrels_graded(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -347,10 +347,35 @@ def q_bm25_topk_quantized(spark, sf_dir):
     return bm25_run_quantized(load_documents(spark, sf_dir), k=1000)
 
 
+_QINDEX_CACHE: dict[str, str] = {}
+
+
+def _materialized_qindex(spark: SparkSession, sf_dir: str) -> str:
+    """Quantized-ONLY index (store_impacts=False — the PISA-shaped
+    8.4 B/posting layout, index2pisa.py:42-48): quant_bytes is the
+    only impact payload on disk, the layout the float search paths
+    refuse (require_impacts)."""
+    if sf_dir not in _QINDEX_CACHE:
+        import tempfile
+
+        from splade_spark.operators.index_build import build_index
+
+        idx = tempfile.mkdtemp(prefix="entry_qidx_")
+        build_index(
+            load_documents(spark, sf_dir).select("doc_id", "text"),
+            idx,
+            n_segments=4,
+            store_impacts=False,
+        )
+        _QINDEX_CACHE[sf_dir] = idx
+    return _QINDEX_CACHE[sf_dir]
+
+
 def q_index_search_quantized(spark, sf_dir):
+    """Builds a quantized-only index and searches it end-to-end."""
     from splade_spark.operators.index_query import search_quantized
 
-    idx = _materialized_index(spark, sf_dir)
+    idx = _materialized_qindex(spark, sf_dir)
     return search_quantized(
         spark, idx, derive_queries(load_documents(spark, sf_dir)), k=1000
     )
@@ -366,13 +391,16 @@ def q_quantized_vectors(spark, sf_dir):
 
 
 def q_composed_text(spark, sf_dir):
-    return compose_doc_text(load_documents(spark, sf_dir))
-
-
-def q_composed_text_beir(spark, sf_dir):
+    """Both composition variants in one relation: the reference's
+    'title: {t} | context: {x}' (indexing.py:23-27) and the BeIR
+    '{title} {text}' (inference_all_beir_doc_bmp.py:69)."""
     from splade_spark.sources.pages import compose_doc_text_beir
 
-    return compose_doc_text_beir(load_documents(spark, sf_dir))
+    std = compose_doc_text(load_documents(spark, sf_dir))
+    beir = compose_doc_text_beir(load_documents(spark, sf_dir)).withColumnRenamed(
+        "composed", "composed_beir"
+    )
+    return std.join(beir, "doc_id")
 
 
 def q_pages_extract(spark, sf_dir):
@@ -401,19 +429,21 @@ def q_vector_roundtrip(spark, sf_dir):
 
 
 def q_vector_export(spark, sf_dir):
+    """BOTH export quantization conventions in one relation:
+    vector_json = int() truncation (PISA export,
+    inference_SPLADE.py:70), vector_json_rint = np.rint (BMP export,
+    inference_all_beir_doc_bmp.py:78)."""
     from splade_spark.sources.sinks import vector_export_df
 
     docs = load_documents(spark, sf_dir)
-    return vector_export_df(docs, logical_postings(docs))
-
-
-def q_vector_export_bmp(spark, sf_dir):
-    # the reference's OTHER export convention: np.rint quantization
-    # (bmp_inference/inference_all_beir_doc_bmp.py:78)
-    from splade_spark.sources.sinks import vector_export_df
-
-    docs = load_documents(spark, sf_dir)
-    return vector_export_df(docs, logical_postings(docs), rounding="rint")
+    post = logical_postings(docs)
+    floor = vector_export_df(docs, post)
+    rint = (
+        vector_export_df(docs, post, rounding="rint")
+        .withColumnRenamed("vector_json", "vector_json_rint")
+        .select("doc_id", "vector_json_rint")
+    )
+    return floor.join(rint, "doc_id")
 
 
 def q_run_with_urls(spark, sf_dir):
@@ -448,11 +478,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_quantized": q_bm25_topk_quantized,
         "index_search_quantized": q_index_search_quantized,
         "composed_text": q_composed_text,
-        "composed_text_beir": q_composed_text_beir,
         "pages_extract": q_pages_extract,
         "vector_roundtrip": q_vector_roundtrip,
         "vector_export": q_vector_export,
-        "vector_export_bmp": q_vector_export_bmp,
         "run_with_urls": q_run_with_urls,
         "trec_run_lines": q_trec_run_lines,
         "run_json": q_run_json,
@@ -489,10 +517,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lens": q_doc_lens,
         "posting_stats": q_posting_stats,
         "query_terms": q_query_terms,
-        "mrr_at_10": q_mrr10,
-        "recall_at_10": q_recall10,
-        "recall_cutoffs": q_recall_cutoffs,
-        "ndcg_at_10": q_ndcg10,
+        "query_terms_thresholded": q_query_terms_thresholded,
+        "eval_metrics": q_eval_metrics,
         "qrels_graded": q_qrels_graded,
         "per_query_metrics": q_per_query_metrics,
     }
@@ -506,12 +532,10 @@ def oracle_sql() -> dict[str, str]:
         "quantized_query_terms": sql_oracle.quantized_query_terms_sql(),
         "bm25_topk_quantized": sql_oracle.quantized_run_sql(1000),
         "index_search_quantized": sql_oracle.quantized_run_sql(1000),
-        "composed_text": sql_oracle.COMPOSED_TEXT_SQL,
-        "composed_text_beir": sql_oracle.COMPOSED_TEXT_BEIR_SQL,
+        "composed_text": sql_oracle.COMPOSED_TEXT_BOTH_SQL,
         "pages_extract": sql_oracle.PAGES_EXTRACT_SQL,
         "vector_roundtrip": sql_oracle.quantized_vectors_sql(100),
-        "vector_export": sql_oracle.vector_export_sql(100),
-        "vector_export_bmp": sql_oracle.vector_export_sql(100, rounding="rint"),
+        "vector_export": sql_oracle.vector_export_both_sql(100),
         "run_with_urls": sql_oracle.run_with_urls_sql(TOPK_K),
         "trec_run_lines": sql_oracle.trec_run_sql(TOPK_K),
         "run_json": sql_oracle.run_json_sql(TOPK_K),
@@ -554,10 +578,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_lens": sql_oracle.DOC_LENS_SQL,
         "posting_stats": sql_oracle.POSTING_STATS_SQL,
         "query_terms": sql_oracle.QUERY_TERMS_SQL,
-        "mrr_at_10": sql_oracle.mrr_sql(10),
-        "recall_at_10": sql_oracle.recall_sql(10),
-        "recall_cutoffs": sql_oracle.recall_cutoffs_sql(1000, (10, 100, 1000)),
-        "ndcg_at_10": sql_oracle.ndcg_sql(10, run_k=TOPK_K),
+        "query_terms_thresholded": sql_oracle.QUERY_TERMS_THRESH_SQL,
+        "eval_metrics": sql_oracle.eval_metrics_sql(1000, 10, (10, 100, 1000)),
         "qrels_graded": sql_oracle.qrels_graded_sql(),
         "per_query_metrics": sql_oracle.PER_QUERY_METRICS_SQL,
     }

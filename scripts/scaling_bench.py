@@ -77,8 +77,13 @@ search_fused(spark, index_dir, [(r.qid, r.text) for r in qrows],
              k=1000).write.format("noop").mode("overwrite").save()
 batch_wall = time.time() - t0
 
-# single-query latency (reference runs batch_size=1, evaluate.py:140)
+# single-query latency (reference runs batch_size=1, evaluate.py:140):
+# exhaustive fused AND the Block-Max-pruned fused path (whose driver
+# fast path answers sub-256-block retained sets with zero cluster jobs)
+from splade_spark.operators.maxscore import search_maxscore_fused
+
 lat = []
+lat_ms = []
 single = queries.limit(12).collect()
 for row in single:
     t0 = time.time()
@@ -86,6 +91,12 @@ for row in single:
         "noop"
     ).mode("overwrite").save()
     lat.append(time.time() - t0)
+for row in single:
+    t0 = time.time()
+    search_maxscore_fused(spark, index_dir, [(row.qid, row.text)], k=1000).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    lat_ms.append(time.time() - t0)
 
 print("RESULT " + json.dumps({{
     "cores": cores,
@@ -97,6 +108,7 @@ print("RESULT " + json.dumps({{
     "batch_query_wall_sec": round(batch_wall, 3),
     "queries_per_sec": round(n_q / batch_wall, 2),
     "single_query_lat_sec": [round(x, 3) for x in lat],
+    "single_query_maxscore_lat_sec": [round(x, 3) for x in lat_ms],
 }}))
 """
 
@@ -134,6 +146,12 @@ def main() -> None:
         lat = sorted(r.pop("single_query_lat_sec"))
         r["query_p50_sec"] = round(statistics.median(lat), 3)
         r["query_p99_sec"] = round(lat[max(0, int(len(lat) * 0.99) - 1)], 3)
+        lat_ms = sorted(r.pop("single_query_maxscore_lat_sec", []))
+        if lat_ms:
+            r["query_maxscore_p50_sec"] = round(statistics.median(lat_ms), 3)
+            r["query_maxscore_p99_sec"] = round(
+                lat_ms[max(0, int(len(lat_ms) * 0.99) - 1)], 3
+            )
     print(
         json.dumps(
             {

@@ -29,6 +29,37 @@ def _spark(args) -> SparkSession:
     return get_spark(app=f"splade-{args.cmd}", cores=getattr(args, "cores", None))
 
 
+def cmd_append(args) -> None:
+    """Incremental append: new docs -> fresh segments -> re-finalize
+    (global BM25 stats re-derived; existing segments never re-tokenized)."""
+    from splade_spark.operators.index_build import append_index
+    from splade_spark.sources.pages import load_table
+
+    spark = _spark(args)
+    if args.input.endswith(".parquet"):
+        docs = spark.read.parquet(args.input)
+    else:
+        docs = load_table(spark, args.input, args.table)
+    t0 = time.time()
+    append_index(
+        docs.select("doc_id", "text"),
+        args.index_dir,
+        n_segments=args.segments,
+        epoch=args.epoch,
+    )
+    wall = time.time() - t0
+    n_docs = docs.count()
+    print(
+        json.dumps(
+            {
+                "cmd": "append",
+                "docs_appended": n_docs,
+                "wall_sec": round(wall, 3),
+            }
+        )
+    )
+
+
 def cmd_index(args) -> None:
     from splade_spark.operators.index_build import build_index
     from splade_spark.sources.pages import load_table
@@ -180,6 +211,17 @@ def main(argv=None) -> None:
     )
     pi.add_argument("--cores", type=int)
 
+    pa = sub.add_parser("append")
+    pa.add_argument("--input", required=True, help="parquet path or sf dir")
+    pa.add_argument("--table", default="documents")
+    pa.add_argument("--index-dir", required=True)
+    pa.add_argument("--segments", type=int, default=4)
+    pa.add_argument(
+        "--epoch",
+        help="append-epoch key; pass the same value to resume a killed append",
+    )
+    pa.add_argument("--cores", type=int)
+
     pq = sub.add_parser("query")
     pq.add_argument("--index-dir", required=True)
     pq.add_argument("--queries", required=True, help="tsv (qid\\ttext) or parquet")
@@ -215,6 +257,7 @@ def main(argv=None) -> None:
     args = p.parse_args(argv)
     {
         "index": cmd_index,
+        "append": cmd_append,
         "query": cmd_query,
         "export-pisa": cmd_export_pisa,
         "describe": cmd_describe,

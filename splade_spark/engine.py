@@ -74,7 +74,16 @@ def bm25_run_quantized(
     quant_bytes convention, codec.quantize) x quantized query weights
     (x50 clip 255). This is the score PISA computes on the reference's
     exported index; integer arithmetic makes it hash-exact across
-    engines by construction."""
+    engines by construction.
+
+    Rounding-convention note: F.round here is HALF_UP while the
+    in-index quant_bytes use np.rint (half-to-even) and the DuckDB
+    twin rounds half-away — the three agree because BM25 impacts are
+    irrational products (log/ratio arithmetic) whose x100 multiples
+    never land exactly on .5 in float64 (the sql_oracle
+    quantized_run_sql note); any doc where they could diverge would
+    need impact*100 to be an exact half-integer, which the impact
+    formula cannot produce."""
     if queries is None:
         queries = derive_queries(documents)
     d_w = F.least(F.round(F.col("impact") * doc_scale), F.lit(255.0)).cast("int")

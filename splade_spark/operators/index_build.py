@@ -47,16 +47,26 @@ DEFAULT_SEGMENTS = 4
 DEFAULT_BUCKETS = 32
 DEFAULT_SALT_UNIT = 1 << 16  # max postings per encoder group
 _BLOCK_ID_STRIDE = 1 << 24  # block_id = salt * stride + seq
+# parquet row-group cap for the postings table: small enough that a
+# single-term pruned scan skips most of a bucket file via sorted
+# (term_id, block_id) min/max stats, large enough to amortize footer
+# metadata (a 100 TB index at 8 MB groups is ~12.5M row groups spread
+# across per-bucket files — footer-local, never driver-resident)
+POSTINGS_ROWGROUP_BYTES = 8 * 1024 * 1024
 
 
 def build_segment(
-    documents: DataFrame, index_dir: str, seg: int, n_segments: int
+    documents: DataFrame,
+    index_dir: str,
+    seg: int,
+    n_segments: int,
+    key_prefix: str = "",
 ) -> dict:
     """Build one segment: single tokenize pass (cached), explode/agg
     terms + doc lens, both written as the segment's parquet."""
     spark = documents.sparkSession
     seg_docs = documents.filter(F.pmod("doc_id", F.lit(n_segments)) == seg)
-    seg_dir = os.path.join(index_dir, "segments", f"seg={seg}")
+    seg_dir = os.path.join(index_dir, "segments", f"{key_prefix}seg={seg}")
     tok = tokenize_docs(seg_docs).persist()
     try:
         terms = (
@@ -85,6 +95,7 @@ def build_segments(
     index_dir: str,
     n_segments: int = DEFAULT_SEGMENTS,
     max_concurrent: int = 4,
+    key_prefix: str = "",
 ) -> Manifest:
     """Stage A. ``documents``: (doc_id long, text string [, url]).
 
@@ -97,16 +108,16 @@ def build_segments(
 
     man = Manifest.load(index_dir)
     done = man.committed("segment")
-    todo = [s for s in range(n_segments) if f"seg={s}" not in done]
+    todo = [s for s in range(n_segments) if f"{key_prefix}seg={s}" not in done]
     lock = Lock()
 
     def run(seg: int) -> None:
         t0 = time.time()
-        res = build_segment(documents, index_dir, seg, n_segments)
+        res = build_segment(documents, index_dir, seg, n_segments, key_prefix)
         with lock:
             man.commit(
                 "segment",
-                f"seg={seg}",
+                f"{key_prefix}seg={seg}",
                 rows=res["rows"],
                 bytes_=res["bytes"],
                 wall_ms=int((time.time() - t0) * 1000),
@@ -177,10 +188,28 @@ def finalize_index(
     done = man.committed("finalize")
     if "index" in done:
         return man
+    # recover from a crash INSIDE the term_dict swap window below
+    # (between rename(final -> _bak) and rename(tmp -> final)): the
+    # dict is never absent-and-lost on disk, but it can be absent at
+    # its canonical path — restore the backup before any reader
+    # touches it
+    _final_td = os.path.join(index_dir, "term_dict")
+    _bak_td = _final_td + "_bak"
+    if not os.path.exists(_final_td) and os.path.exists(_bak_td):
+        os.rename(_bak_td, _final_td)
     t0 = time.time()
-    seg_glob = os.path.join(index_dir, "segments", "*")
-    terms = spark.read.parquet(os.path.join(seg_glob, "terms"))
-    lens = spark.read.parquet(os.path.join(seg_glob, "docs"))
+    # concrete per-segment paths, not a "*" glob: the glob makes every
+    # read probe "<glob>/_spark_metadata" and log a WARN + full
+    # FileNotFoundException stack (FileStreamSink), polluting job logs;
+    # listing N segment dirs is metadata-trivial at any scale
+    seg_root = os.path.join(index_dir, "segments")
+    seg_dirs = sorted(
+        os.path.join(seg_root, d)
+        for d in os.listdir(seg_root)
+        if os.path.isdir(os.path.join(seg_root, d, "terms"))
+    )  # covers batch "seg=N" and streaming "stream-epoch=N" segments
+    terms = spark.read.parquet(*[os.path.join(d, "terms") for d in seg_dirs])
+    lens = spark.read.parquet(*[os.path.join(d, "docs") for d in seg_dirs])
 
     # --- step 1: global stats + docs dimension table in ONE job ------------
     # (stats piggyback on the docs write via observe())
@@ -206,6 +235,8 @@ def finalize_index(
                     "n_buckets": n_buckets,
                     "gap_codec": gap_codec,
                     "store_impacts": store_impacts,
+                    "block_size": block_size,
+                    "salt_unit": salt_unit,
                 },
                 f,
             )
@@ -302,9 +333,19 @@ def finalize_index(
                 _encoder(block_size, gap_codec, store_impacts), schema=S.POSTINGS
             )
         )
+        # sorted + small-row-group write: within each bucket file rows
+        # are ordered by (term_id, block_id) and row groups capped at
+        # POSTINGS_ROWGROUP_BYTES, so the query side's literal
+        # term_id/block_id filters (search_fused's isin, MaxScore's
+        # retained-block IN-lists) skip row groups via min/max stats —
+        # the Iceberg sorted-write analog. Unsorted, every row group
+        # spans the whole term range and pruned scans silently read
+        # the full bucket.
         (
             blocks.repartition("bucket")
+            .sortWithinPartitions("term_id", "block_id")
             .write.mode("overwrite")
+            .option("parquet.block.size", str(POSTINGS_ROWGROUP_BYTES))
             .partitionBy("bucket")
             .parquet(post_dir)
         )
@@ -352,6 +393,80 @@ def finalize_index(
         wall_ms=int((time.time() - t0) * 1000),
     )
     return man
+
+
+def append_index(
+    documents: DataFrame,
+    index_dir: str,
+    n_segments: int = DEFAULT_SEGMENTS,
+    epoch: str | None = None,
+) -> Manifest:
+    """Incremental append: tokenize/explode/aggregate ONLY the new
+    documents into fresh segments, then re-run the finalize merge.
+
+    BM25 impacts depend on GLOBAL corpus statistics (N, avgdl, df) —
+    appending documents changes every term's idf and the length
+    normalization, so the weighting + block encode of the merged
+    posting set MUST rewrite (there is no correct impact-preserving
+    append; the reference simply re-indexes, inverted_index.py:23-46
+    ``force_new``). What never recomputes is stage A for existing
+    segments — the tokenize/expand pass that dominates build cost for
+    a real encoder. The resulting index is IDENTICAL to a fresh full
+    build over the union (same dense term_ids, same salts, same
+    blocks): finalize is a pure function of the segment set.
+
+    ``epoch`` keys this append's segments (``<epoch>-seg=N``). A
+    killed append is resumed by calling again with the SAME epoch and
+    documents — committed segments skip, finalize re-runs from its
+    last committed sub-step. With epoch=None a fresh key is derived
+    from the manifest (count of prior append epochs), which is only
+    safe when no append is mid-flight.
+
+    New doc_ids must be disjoint from the indexed ones (checked
+    against the docs dimension — one semi-join job over the new docs).
+    """
+    spark = documents.sparkSession
+    man = Manifest.load(index_dir)
+    if "index" not in man.committed("finalize"):
+        raise ValueError(
+            "append_index requires a fully finalized index; run "
+            "build_index first (or resume the interrupted build)"
+        )
+    docs_dim = os.path.join(index_dir, "docs")
+    clash = (
+        documents.select("doc_id")
+        .join(spark.read.parquet(docs_dim).select("doc_id"), "doc_id", "left_semi")
+        .limit(1)
+        .count()
+    )
+    if clash:
+        raise ValueError(
+            "append_index: new doc_ids overlap the indexed corpus — "
+            "appended documents must carry fresh doc_ids"
+        )
+    if epoch is None:
+        prior = {
+            s["key"].split("-seg=")[0]
+            for s in man.snapshots
+            if s["stage"] == "segment" and "-seg=" in s["key"]
+        }
+        epoch = f"a{len(prior)}"
+    # the re-finalize must keep the layout the original build chose —
+    # read it from the committed stats before retracting them
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        prior = json.load(f)
+    build_segments(documents, index_dir, n_segments, key_prefix=f"{epoch}-")
+    man = Manifest.load(index_dir)
+    man.retract("finalize", reason=f"append:{epoch}")
+    return finalize_index(
+        spark,
+        index_dir,
+        n_buckets=int(prior.get("n_buckets", DEFAULT_BUCKETS)),
+        block_size=int(prior.get("block_size", BLOCK_SIZE)),
+        salt_unit=int(prior.get("salt_unit", DEFAULT_SALT_UNIT)),
+        gap_codec=prior.get("gap_codec", "vbyte"),
+        store_impacts=bool(prior.get("store_impacts", True)),
+    )
 
 
 def build_index(

@@ -9,8 +9,9 @@ Catalyst extension.
 Two-pass plan (SURVEY.md §4), per query but fully set-based:
 
 Pass 1 (floor): for each query pick the champion term (highest
-  ub_t = q_tf * max_impact_t); decode only its blocks. The top-k
-  docs by single-term partial become floor CANDIDATES; their exact
+  ub_t = q_tf * max_impact_t); decode only its highest-block_max
+  blocks covering >= k postings (O(k) floor work). The top-k
+  decoded docs by single-term partial become floor CANDIDATES; their exact
   total scores are computed by decoding only the blocks whose
   [first_doc_id, last_doc_id] range contains a candidate (a
   broadcast range join — candidates are <= k per query). With >= k
@@ -73,9 +74,15 @@ def search_maxscore_fused(
     union across queries) stays lossless: fully-retained docs score
     exactly, others partially UNDER their true (< theta) score.
 
-    If the champion's posting list exceeds ``champion_block_limit``
-    blocks, the driver-side floor would stop being metadata-scale —
-    fall back to exhaustive ``search_fused``.
+    If ANY hit term's estimated block count (from the term_dict
+    ``df`` — read in the same metadata-scale dictionary scan that
+    resolves term_ids) exceeds ``champion_block_limit``, the
+    driver-side passes would stop being metadata-scale — fall back
+    to exhaustive ``search_fused`` BEFORE touching the postings
+    dataset, so a stopword-ish term at 10^12 docs (~df/block_size
+    metadata rows) can never materialize on the driver. The same
+    guard caps the summed estimate across hit terms at 4x the
+    per-term limit.
 
     When pruning leaves at most ``driver_block_limit`` blocks, the
     retained set is scored entirely on the driver (numpy over the
@@ -110,7 +117,7 @@ def search_maxscore_fused(
     }
     all_terms = sorted({t for c in qtf.values() for t in c})
     dict_tbl = pads.dataset(os.path.join(index_dir, "term_dict")).to_table(
-        columns=["term", "term_id", "max_impact"],
+        columns=["term", "term_id", "max_impact", "df"],
         filter=pads.field("term").isin(all_terms),
     )
     tinfo = {
@@ -121,6 +128,29 @@ def search_maxscore_fused(
             dict_tbl.column("max_impact").to_pylist(),
         )
     }
+    # scale guard BEFORE any postings access: estimate each hit term's
+    # block count from its df (upper bound: full blocks + one partial
+    # block per salt group). A term over the limit — or a query set
+    # whose total estimate exceeds 4x the limit — would make the
+    # metadata scan below driver-scale-unsafe, so bail to the
+    # exhaustive fused plan while still only having read the
+    # dictionary rows.
+    from splade_spark.functions.codec import BLOCK_SIZE
+    from splade_spark.operators.index_build import DEFAULT_SALT_UNIT
+
+    block_size = int(stats.get("block_size", BLOCK_SIZE))
+    salt_unit = int(stats.get("salt_unit", DEFAULT_SALT_UNIT))
+    blocks_est = {
+        t: df // block_size + df // salt_unit + 2
+        for t, df in zip(
+            dict_tbl.column("term").to_pylist(), dict_tbl.column("df").to_pylist()
+        )
+    }
+    if blocks_est and (
+        max(blocks_est.values()) > champion_block_limit
+        or sum(blocks_est.values()) > 4 * champion_block_limit
+    ):
+        return search_fused(spark, index_dir, query_rows, k, threshold)
     # per query: [(term_id, q_tf, ub)], champion, total_ub
     q_plan: dict[int, list[tuple[int, float, float]]] = {}
     for qid, c in qtf.items():
@@ -142,7 +172,7 @@ def search_maxscore_fused(
         os.path.join(index_dir, "postings"), partitioning="hive"
     )
     meta = post_ds.to_table(
-        columns=["term_id", "block_id", "first_doc_id", "last_doc_id", "block_max"],
+        columns=["term_id", "block_id", "first_doc_id", "last_doc_id", "n", "block_max"],
         filter=pads.field("term_id").isin(hit_terms),
     ).to_pandas()
     by_term = dict(iter(meta.groupby("term_id")))
@@ -188,9 +218,20 @@ def search_maxscore_fused(
         cm = by_term.get(champ[0])
         if cm is None:
             continue
-        if len(cm) > champion_block_limit:
-            return search_fused(spark, index_dir, query_rows, k, threshold)
-        champ_pairs.update((champ[0], int(b)) for b in cm["block_id"])
+        # decode only the highest-block_max champion blocks covering
+        # >= k postings — O(k) floor work instead of O(champion df);
+        # candidates drawn from a subset still yield a valid (at most
+        # slightly looser) exact floor, since every candidate's exact
+        # score is a true score
+        order_b = np.lexsort(
+            (cm["block_id"].to_numpy(), -cm["block_max"].to_numpy())
+        )
+        n_cum = np.cumsum(cm["n"].to_numpy()[order_b])
+        nb = min(int(np.searchsorted(n_cum, k, side="left")) + 1, len(order_b))
+        champ_pairs.update(
+            (champ[0], int(b))
+            for b in cm["block_id"].to_numpy()[order_b[:nb]]
+        )
     champ_dec = fetch_decode(champ_pairs)
 
     theta: dict[int, float] = {}
@@ -204,7 +245,11 @@ def search_maxscore_fused(
         d, w = dec
         part = w * champ[1]
         order = np.lexsort((d, -part))[:k]
-        cand = d[order]
+        # ASCENDING doc ids: the exact-scoring pass binary-searches this
+        # array (np.searchsorted below), which silently mis-positions on
+        # champion-partial order; the covered-range check is
+        # order-insensitive, so sorting is safe
+        cand = np.sort(d[order])
         cand_of[qid] = cand
         for tid, _, _ in rows:
             tm = by_term.get(tid)
@@ -328,6 +373,37 @@ def search_maxscore_fused(
     return topk_window(scored, k)
 
 
+def _literal_block_src(
+    postings: DataFrame,
+    buckets: list[int],
+    pairs_df: DataFrame,
+    fallback: DataFrame,
+    limit: int = 20_000,
+):
+    """Postings restricted to a (term_id, block_id) pair set.
+
+    When the pair set is driver-safe (<= limit rows) it becomes a
+    LITERAL per-term IN-filter on the scan — predicate pushdown skips
+    non-matching parquet row groups, so a 0.2%-retained block set
+    reads ~0.2% of the bytes. A broadcast semi-join cannot do this:
+    it scans every byte column row and filters afterwards, which at
+    10^12 docs means a full-index read per pass. Over the limit the
+    semi-join ``fallback`` is used (correct, full-scan)."""
+    rows = pairs_df.limit(limit + 1).collect()
+    if len(rows) > limit:
+        return fallback
+    by_t: dict[int, list[int]] = {}
+    for r in rows:
+        by_t.setdefault(int(r.term_id), []).append(int(r.block_id))
+    if not by_t:
+        return fallback.filter(F.lit(False))
+    expr = None
+    for t, bs in sorted(by_t.items()):
+        e = (F.col("term_id") == t) & F.col("block_id").isin(sorted(bs))
+        expr = e if expr is None else expr | e
+    return postings.filter(F.col("bucket").isin(buckets) & expr)
+
+
 def search_maxscore(
     spark: SparkSession,
     index_dir: str,
@@ -335,7 +411,40 @@ def search_maxscore(
     k: int = TOPK_DEFAULT,
     threshold: float = SCORE_THRESHOLD,
     debug_counts: dict | None = None,
+    exact_floor: bool | None = None,
 ) -> DataFrame:
+    """All-DataFrame Block-Max/MaxScore for query RELATIONS.
+
+    The floor pass decodes only the champion term's
+    highest-``block_max`` blocks covering >= k postings per query (a
+    metadata-window selection, so floor decode work is O(k) blocks,
+    not O(champion df) — at 10^12 docs a stopword champion would
+    otherwise decode ~10^10 postings just to seed theta). The
+    selected docs' champion partials are exact single-term lower
+    bounds, so any k of them floor the true k-th score — losslessness
+    never depends on the selection being the true champion top-k.
+
+    ``exact_floor=True``: exact-score those candidate docs via a
+    broadcast range join over covering blocks; theta = k-th exact
+    score. This is the theta that lets OTHER terms' blocks prune — a
+    champion-partial-only floor satisfies theta <= ub_champion, and
+    a non-champion block's UB = total_ub - ub_t + q_tf*block_max >=
+    ub_champion >= theta, so it can never prune.
+
+    ``exact_floor=False`` (cheap-theta): theta = k-th champion
+    partial, skipping the cover/exact pass (~half the stage count).
+    Still lossless, and effective for single-term queries (the
+    champion's own low-max blocks prune), but by the inequality
+    above it cannot prune multi-term queries' non-champion lists.
+
+    ``exact_floor=None`` (default) picks by depth: exact for
+    k <= 100 (the cover NLJ is O(k x query-blocks) and theta
+    tightness is what makes Block-Max pay), cheap beyond (at deep k
+    the k-th score bar is low, pruning is weak in any mode, and the
+    cover pass's candidate set is k-sized — overhead without win).
+    """
+    if exact_floor is None:
+        exact_floor = k <= 100
     term_dict = load_term_dict(spark, index_dir)
     postings = load_postings(spark, index_dir)
 
@@ -374,50 +483,84 @@ def search_maxscore(
     champions = (
         qt.withColumn("rn", F.row_number().over(champ_w)).filter("rn = 1").drop("rn")
     )
-    champ_decoded = decode_blocks_df(
-        blocks.join(
-            F.broadcast(champions.select("term_id").distinct()), "term_id", "left_semi"
+    champ_keys = F.broadcast(champions.select("qid", "term_id", "q_tf"))
+    # per query keep only the champion blocks with the highest
+    # block_max until their postings cover >= k docs — the metadata
+    # window runs over champion-block rows only, the decode over
+    # ~k/block_size blocks instead of the whole champion posting list
+    champ_meta = blocks.select("term_id", "block_id", "n", "block_max").join(
+        champ_keys, "term_id"
+    )
+    cum_w = (
+        Window.partitionBy("qid")
+        .orderBy(F.desc("block_max"), F.asc("block_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sel_pairs = (
+        champ_meta.withColumn("cum_n", F.sum("n").over(cum_w))
+        .filter(F.col("cum_n") - F.col("n") < k)
+        .select("term_id", "block_id")
+        .distinct()
+    )
+    champ_sel = _literal_block_src(
+        postings,
+        buckets,
+        sel_pairs,
+        fallback=blocks.join(
+            F.broadcast(sel_pairs), ["term_id", "block_id"], "left_semi"
         ),
-        gap_codec,
     )
-    champ_partials = champ_decoded.join(
-        F.broadcast(champions.select("qid", "term_id", "q_tf")), "term_id"
-    ).select("qid", "doc_id", (F.col("q_tf") * F.col("impact")).alias("partial"))
+    champ_decoded = decode_blocks_df(champ_sel, gap_codec)
+    champ_partials = champ_decoded.join(champ_keys, "term_id").select(
+        "qid", "doc_id", (F.col("q_tf") * F.col("impact")).alias("partial")
+    )
     kth_w = Window.partitionBy("qid").orderBy(F.desc("partial"), F.asc("doc_id"))
-    candidates = (
-        champ_partials.withColumn("rn", F.row_number().over(kth_w))
-        .filter(F.col("rn") <= k)
-        .select("qid", "doc_id")
-    )
-    # exact-score the candidates: decode only blocks whose doc range
-    # covers a candidate doc (broadcast NLJ on the tiny candidate set)
-    cover_pairs = blocks_meta.alias("b").join(
-        F.broadcast(candidates).alias("c"),
-        (F.col("b.qid") == F.col("c.qid"))
-        & (F.col("c.doc_id") >= F.col("b.first_doc_id"))
-        & (F.col("c.doc_id") <= F.col("b.last_doc_id")),
-    )
-    cover_blocks = blocks.join(
-        cover_pairs.select("term_id", "block_id").distinct(),
-        ["term_id", "block_id"],
-        "left_semi",
-    )
-    cand_scores = (
-        decode_blocks_df(cover_blocks, gap_codec)
-        .join(F.broadcast(candidates), "doc_id")
-        .join(F.broadcast(qt.select("qid", "term_id", "q_tf")), ["qid", "term_id"])
-        .groupBy("qid", "doc_id")
-        .agg(F.sum(F.col("q_tf") * F.col("impact")).alias("exact"))
-    )
-    floors = (
-        cand_scores.groupBy("qid")
-        .agg(
-            F.count("*").alias("m"),
-            F.sort_array(F.collect_list("exact"), False).alias("xs"),
+    if not exact_floor:
+        # theta = k-th largest champion partial among the decoded docs:
+        # each is an exact lower bound of its doc's true score, so
+        # >= k docs truly reach theta
+        floors = (
+            champ_partials.withColumn("rn", F.row_number().over(kth_w))
+            .filter(F.col("rn") == k)
+            .select("qid", F.col("partial").alias("theta"))
         )
-        .filter(F.col("m") >= k)
-        .select("qid", F.element_at("xs", k).alias("theta"))
-    )
+    else:
+        candidates = (
+            champ_partials.withColumn("rn", F.row_number().over(kth_w))
+            .filter(F.col("rn") <= k)
+            .select("qid", "doc_id")
+        )
+        # exact-score the candidates: decode only blocks whose doc range
+        # covers a candidate doc (broadcast NLJ on the tiny candidate set)
+        cover_pairs = blocks_meta.alias("b").join(
+            F.broadcast(candidates).alias("c"),
+            (F.col("b.qid") == F.col("c.qid"))
+            & (F.col("c.doc_id") >= F.col("b.first_doc_id"))
+            & (F.col("c.doc_id") <= F.col("b.last_doc_id")),
+        )
+        cover_sel = cover_pairs.select("term_id", "block_id").distinct()
+        cover_blocks = _literal_block_src(
+            postings,
+            buckets,
+            cover_sel,
+            fallback=blocks.join(cover_sel, ["term_id", "block_id"], "left_semi"),
+        )
+        cand_scores = (
+            decode_blocks_df(cover_blocks, gap_codec)
+            .join(F.broadcast(candidates), "doc_id")
+            .join(F.broadcast(qt.select("qid", "term_id", "q_tf")), ["qid", "term_id"])
+            .groupBy("qid", "doc_id")
+            .agg(F.sum(F.col("q_tf") * F.col("impact")).alias("exact"))
+        )
+        floors = (
+            cand_scores.groupBy("qid")
+            .agg(
+                F.count("*").alias("m"),
+                F.sort_array(F.collect_list("exact"), False).alias("xs"),
+            )
+            .filter(F.col("m") >= k)
+            .select("qid", F.element_at("xs", k).alias("theta"))
+        )
 
     # ---- pass 2: block prune + exact scoring --------------------------
     total_ub = qt.groupBy("qid").agg(F.sum("ub").alias("total_ub"))
@@ -436,14 +579,20 @@ def search_maxscore(
         debug_counts["blocks_total"] = blocks_meta.count()
         debug_counts["blocks_kept"] = retained_pairs.count()
 
-    retained_blocks = blocks.join(
-        retained_pairs.select("term_id", "block_id").distinct(),
-        ["term_id", "block_id"],
-        "left_semi",
+    # floors feed BOTH the retained-pair collect below and the final
+    # scoring DAG; persist the (one-row-per-query) relation so the
+    # champion decode chain is not recomputed per action
+    floors = floors.persist()
+    retained_sel = retained_pairs.select("term_id", "block_id").distinct()
+    retained_blocks = _literal_block_src(
+        postings,
+        buckets,
+        retained_sel,
+        fallback=blocks.join(retained_sel, ["term_id", "block_id"], "left_semi"),
     )
     scored = (
         decode_blocks_df(retained_blocks, gap_codec)
-        .join(retained_pairs, ["term_id", "block_id"])
+        .join(F.broadcast(retained_pairs), ["term_id", "block_id"])
         .groupBy("qid", "doc_id")
         .agg(F.round(F.sum(F.col("q_tf") * F.col("impact")), 6).alias("score"))
         .filter(F.col("score") > F.lit(threshold))

@@ -83,6 +83,16 @@ class Manifest:
     def lineage_rows(self) -> list[dict]:
         return list(self.snapshots)
 
+    def retract(self, stage: str, reason: str = "") -> int:
+        """Remove a stage's commits (so its steps re-run on the next
+        finalize) while RECORDING the retraction as its own lineage
+        snapshot — the Iceberg analog is replacing the table's current
+        snapshot pointer with a new one; history stays queryable."""
+        keep = [s for s in self.snapshots if s["stage"] != stage]
+        removed = len(self.snapshots) - len(keep)
+        self.snapshots = keep
+        return self.commit("retract", f"{stage}:{reason}", rows=removed)
+
 
 def dir_bytes(path: str) -> int:
     total = 0

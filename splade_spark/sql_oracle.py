@@ -241,6 +241,73 @@ def qrels_graded_sql() -> str:
     return SQL_QRELS_GRADED
 
 
+def eval_metrics_sql(
+    run_k: int = 1000, k: int = 10, ks: tuple[int, ...] = (10, 100, 1000)
+) -> str:
+    """ALL headline eval metrics from ONE k=run_k run (the driver-cap
+    curation: mrr@k + multi-cutoff recall + graded ndcg@k in a single
+    (metric, value) relation — evaluate.py:53-69 dispatch). rank <= k
+    of the deep run is identical to a k-deep run (deterministic
+    (-score, doc_id) ranking), so the shallow-metric twins hold."""
+    from splade_spark.synth import SQL_QRELS_GRADED
+
+    h_cols = ",\n         ".join(
+        f"sum(CASE WHEN r.rank <= {c} THEN 1 ELSE 0 END) AS h{c}" for c in ks
+    )
+    r_cols = ",\n         ".join(
+        f"round(avg(coalesce(h.h{c}, 0) * 1.0 / n.n_rel), 6) AS r{c}" for c in ks
+    )
+    recall_selects = "\nUNION ALL ".join(
+        f"SELECT 'recall@{c}' AS metric, r{c} AS value FROM means" for c in ks
+    )
+    return (
+        _run_ctes(run_k)
+        + f""",
+hits10 AS (
+  SELECT r.qid, min(r.rank) AS best_rank
+  FROM run r JOIN qrels q ON r.qid = q.qid AND r.doc_id = q.doc_id
+  WHERE r.rank <= {k}
+  GROUP BY r.qid
+),
+pq10 AS (
+  SELECT n.qid, coalesce(1.0 / h.best_rank, 0.0) AS rr
+  FROM n_rel n LEFT JOIN hits10 h USING (qid)
+),
+hitsc AS (
+  SELECT r.qid,
+         {h_cols}
+  FROM run r JOIN qrels q ON r.qid = q.qid AND r.doc_id = q.doc_id
+  GROUP BY r.qid
+),
+means AS (
+  SELECT {r_cols}
+  FROM n_rel n LEFT JOIN hitsc h USING (qid)
+),
+gq AS ({SQL_QRELS_GRADED}),
+gpos AS (SELECT * FROM gq WHERE rel > 0),
+gdcg AS (
+  SELECT r.qid, sum(g.rel / log2(r.rank + 1)) AS dcg
+  FROM run r JOIN gpos g ON r.qid = g.qid AND r.doc_id = g.doc_id
+  WHERE r.rank <= {k}
+  GROUP BY r.qid
+),
+gideal AS (
+  SELECT qid, sum(rel / log2(rn + 1)) AS idcg FROM (
+    SELECT qid, rel,
+           row_number() OVER (PARTITION BY qid ORDER BY rel DESC, doc_id ASC) AS rn
+    FROM gpos
+  ) WHERE rn <= {k} GROUP BY qid
+),
+gbase AS (SELECT DISTINCT qid FROM gq)
+SELECT 'mrr@{k}' AS metric, round(avg(rr), 6) AS value FROM pq10
+UNION ALL SELECT 'ndcg@{k}' AS metric,
+       round(avg(coalesce(d.dcg / i.idcg, 0.0)), 6) AS value
+FROM gbase b LEFT JOIN gdcg d USING (qid) LEFT JOIN gideal i USING (qid)
+UNION ALL {recall_selects}
+"""
+    )
+
+
 def run_with_urls_sql(k: int) -> str:
     """docid -> url remap join (sinks.remap_run_urls twin)."""
     return (
@@ -291,6 +358,55 @@ SELECT d.doc_id, d.text AS content, v.vector_json
 FROM documents d JOIN vec v USING (doc_id)
 """
     )
+
+
+def vector_export_both_sql(scale: int = 100) -> str:
+    """Both export quantization conventions in one relation
+    (driver-cap curation): vector_json = int() truncation (the PISA
+    export, inference_SPLADE.py:70), vector_json_rint = np.rint
+    half-to-even (the BMP export,
+    bmp_inference/inference_all_beir_doc_bmp.py:78; ties never land
+    exactly on .5 in float64 BM25 impacts, so round-half-away ==
+    rint here)."""
+    return (
+        BM25_CTES
+        + f""",
+qpf AS (
+  SELECT doc_id, term,
+         CAST(least(floor(impact * {scale}), 255) AS INTEGER) AS iq
+  FROM post
+),
+qpr AS (
+  SELECT doc_id, term,
+         CAST(least(round(impact * {scale}), 255) AS INTEGER) AS iq
+  FROM post
+),
+vecf AS (
+  SELECT doc_id,
+         '{{' || array_to_string(
+             list_sort(list(printf('"%s":%d', term, iq))), ',') || '}}' AS vector_json
+  FROM qpf WHERE iq > 0 GROUP BY doc_id
+),
+vecr AS (
+  SELECT doc_id,
+         '{{' || array_to_string(
+             list_sort(list(printf('"%s":%d', term, iq))), ',') || '}}' AS vector_json_rint
+  FROM qpr WHERE iq > 0 GROUP BY doc_id
+)
+SELECT d.doc_id, d.text AS content, f.vector_json, r.vector_json_rint
+FROM documents d JOIN vecf f USING (doc_id) JOIN vecr r USING (doc_id)
+"""
+    )
+
+
+QUERY_TERMS_THRESH_SQL = (
+    BM25_CTES
+    + """
+SELECT qid, term, CAST(q_tf AS BIGINT) AS q_tf FROM qterms
+WHERE q_tf > 1
+ORDER BY qid, term
+"""
+)
 
 
 def run_json_sql(k: int) -> str:
@@ -869,6 +985,16 @@ FROM documents
 
 COMPOSED_TEXT_BEIR_SQL = """
 SELECT doc_id, source || ' ' || text AS composed
+FROM documents
+"""
+
+# both composition variants in one relation (driver-cap curation):
+# reference twins are indexing.py:23-27 (title|context) and
+# bmp_inference/inference_all_beir_doc_bmp.py:69 (title-space-text)
+COMPOSED_TEXT_BOTH_SQL = """
+SELECT doc_id,
+       'title: ' || source || ' | context: ' || text AS composed,
+       source || ' ' || text AS composed_beir
 FROM documents
 """
 

@@ -180,3 +180,89 @@ def test_search_fused_matches_search(spark, built):
     key = lambda r: (r.qid, r.rank, r.doc_id, round(r.score, 6))
     assert sorted(map(key, fused)) == sorted(map(key, base))
     assert len(fused) > 0
+
+
+def test_finalize_recovers_from_term_dict_swap_crash(spark, tmp_path, monkeypatch):
+    """Kill the job INSIDE the term_dict backup-rename window (after
+    rename(final -> _bak), before rename(tmp -> final)): term_dict is
+    absent at its canonical path but _bak survives. A resumed
+    finalize_index must restore the backup and complete instead of
+    failing at spark.read.parquet(term_dict)."""
+    from splade_spark.operators.index_build import build_segments, finalize_index
+
+    docs = load_documents(spark, SF_SMOKE)
+    idx = str(tmp_path / "crash_idx")
+    build_segments(docs, idx, n_segments=1)
+
+    tmp_td = os.path.join(idx, "term_dict_tmp")
+    real_rename = os.rename
+
+    def crashing_rename(src, dst):
+        if src == tmp_td:
+            raise RuntimeError("simulated crash inside swap window")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", crashing_rename)
+    with pytest.raises(RuntimeError, match="swap window"):
+        finalize_index(spark, idx, n_buckets=4)
+    monkeypatch.setattr(os, "rename", real_rename)
+
+    # crash-window state on disk: final absent, backup present
+    assert not os.path.exists(os.path.join(idx, "term_dict"))
+    assert os.path.exists(os.path.join(idx, "term_dict") + "_bak")
+
+    finalize_index(spark, idx, n_buckets=4)
+    assert os.path.exists(os.path.join(idx, "term_dict"))
+    assert not os.path.exists(os.path.join(idx, "term_dict") + "_bak")
+    got = search(spark, idx, derive_queries(docs), k=5)
+    assert got.count() > 0
+
+
+def test_append_index_equals_full_rebuild(spark, tmp_path):
+    """append_index(B) on an index of A must equal a fresh build over
+    A ∪ B exactly: BM25 globals (N/avgdl/df) are re-derived by the
+    finalize merge, dense term_ids and salts are pure functions of the
+    merged segment set, so search results and block-level posting
+    stats are identical."""
+    from splade_spark.operators.index_build import append_index, build_index
+
+    docs = load_documents(spark, SF_SMOKE)
+    part_a = docs.filter("doc_id % 3 != 0")
+    part_b = docs.filter("doc_id % 3 = 0")
+
+    full_idx = str(tmp_path / "full_idx")
+    build_index(docs, full_idx, n_segments=2, n_buckets=8)
+
+    inc_idx = str(tmp_path / "inc_idx")
+    build_index(part_a, inc_idx, n_segments=2, n_buckets=8)
+    append_index(part_b, inc_idx, n_segments=2)
+
+    queries = derive_queries(docs)
+    want = (
+        search(spark, full_idx, queries, k=10)
+        .toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    )
+    got = (
+        search(spark, inc_idx, queries, k=10)
+        .toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    )
+    assert got.equals(want)
+
+    # block-level identity, not just top-k: same (term_id, block_id,
+    # first_doc_id, n, block_max) relation
+    cols = ["term_id", "block_id", "first_doc_id", "n", "block_max"]
+    pa = (
+        spark.read.parquet(full_idx + "/postings").select(cols)
+        .toPandas().sort_values(cols[:2]).reset_index(drop=True)
+    )
+    pb = (
+        spark.read.parquet(inc_idx + "/postings").select(cols)
+        .toPandas().sort_values(cols[:2]).reset_index(drop=True)
+    )
+    assert pa.equals(pb)
+
+    # overlapping doc_ids must refuse
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="overlap"):
+        append_index(part_b.limit(1), inc_idx, n_segments=1)

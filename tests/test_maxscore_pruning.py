@@ -88,3 +88,124 @@ def test_fused_maxscore_matches_and_prunes(spark, skewed_index):
         assert {(r.doc_id, r.score, r.rank) for r in fused} == {
             (r.doc_id, r.score, r.rank) for r in exhaustive
         }, limit
+
+
+def _scattered_docs(spark):
+    """Like _skewed_docs (dl grows with doc_id, so common-term block
+    maxima still skew and pruning can fire), but the RARE docs' dl is
+    a permutation of id order (dl = 3 + 7*id mod 40): the champion's
+    top-k candidates sorted by partial are NOT ascending in doc_id —
+    the regression shape for the fused candidate binary search (cand
+    must be doc_id-sorted, not champion-partial-ordered)."""
+    return spark.range(N_DOCS).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.when(F.col("id") < N_RARE, F.lit("rare ")).otherwise(F.lit("")),
+            F.when(
+                (F.col("id") < N_RARE) | (F.col("id") % 2 == 0), F.lit("common")
+            ).otherwise(F.lit("filler")),
+            F.repeat(
+                F.lit(" pad"),
+                F.when(
+                    F.col("id") < N_RARE,
+                    F.lit(3) + F.pmod(F.col("id") * 7, F.lit(40)).cast("int"),
+                ).otherwise(F.lit(3) + (F.col("id") / 8).cast("int")),
+            ),
+        ).alias("text"),
+    )
+
+
+@pytest.fixture(scope="module")
+def scattered_index(spark, tmp_path_factory):
+    idx = str(tmp_path_factory.mktemp("scattered_idx"))
+    build_index(_scattered_docs(spark), idx, n_segments=2)
+    return idx
+
+
+def test_fused_prunes_with_nonmonotone_champion_order(spark, scattered_index):
+    """Champion partials do not decrease with doc_id here, so an
+    unsorted candidate array would silently break the searchsorted
+    exact-scoring pass (under-accumulated candidate scores -> loose
+    theta -> ~no pruning). Assert pruning still FIRES and is exact."""
+    from splade_spark.operators.maxscore import search_maxscore_fused
+
+    queries = [(1, "rare common")]
+    counts: dict = {}
+    fused = search_maxscore_fused(
+        spark, scattered_index, queries, k=10, debug_counts=counts
+    ).collect()
+    assert counts["blocks_total"] > 50, counts
+    assert counts["blocks_kept"] / counts["blocks_total"] < 0.5, counts
+
+    qdf = spark.createDataFrame(queries, "qid long, text string")
+    exhaustive = search(spark, scattered_index, qdf, k=10).collect()
+    assert {(r.doc_id, r.score, r.rank) for r in fused} == {
+        (r.doc_id, r.score, r.rank) for r in exhaustive
+    }
+
+
+def test_fused_guard_falls_back_before_postings_metadata(
+    spark, skewed_index, monkeypatch
+):
+    """The df-based scale guard must route to search_fused BEFORE any
+    pyarrow access to the postings dataset: with champion_block_limit=0
+    every hit term over-limits, and a postings-path dataset() open
+    would mean driver-side metadata materialization at what could be
+    10^12-doc scale."""
+    import pyarrow.dataset as pads
+
+    from splade_spark.operators import maxscore
+
+    real_dataset = pads.dataset
+    opened: list[str] = []
+
+    def spy(path, *a, **kw):
+        if isinstance(path, str):
+            opened.append(path)
+            if path.rstrip("/").endswith("postings"):
+                raise AssertionError(
+                    "postings dataset opened despite over-limit guard"
+                )
+        return real_dataset(path, *a, **kw)
+
+    monkeypatch.setattr(pads, "dataset", spy)
+    queries = [(1, "rare common")]
+    got = maxscore.search_maxscore_fused(
+        spark, skewed_index, queries, k=10, champion_block_limit=0
+    ).collect()
+    # fell back through the exhaustive fused path and still answered
+    qdf = spark.createDataFrame(queries, "qid long, text string")
+    exhaustive = search(spark, skewed_index, qdf, k=10).collect()
+    assert {(r.doc_id, r.score, r.rank) for r in got} == {
+        (r.doc_id, r.score, r.rank) for r in exhaustive
+    }
+    assert any(p.rstrip("/").endswith("term_dict") for p in opened)
+
+
+def test_cheap_theta_mode_lossless_and_prunes_single_term(spark, skewed_index):
+    """exact_floor=False: lossless on multi-term queries (weaker theta
+    only weakens pruning), and still prunes a single-term query's own
+    low-block_max blocks (theta = k-th champion partial)."""
+    from splade_spark.operators.maxscore import search_maxscore
+
+    multi = spark.createDataFrame([(1, "rare common")], "qid long, text string")
+    want = search(spark, skewed_index, multi, k=10).collect()
+    got = search_maxscore(
+        spark, skewed_index, multi, k=10, exact_floor=False
+    ).collect()
+    assert {(r.doc_id, r.score, r.rank) for r in got} == {
+        (r.doc_id, r.score, r.rank) for r in want
+    }
+
+    single = spark.createDataFrame([(2, "common")], "qid long, text string")
+    counts: dict = {}
+    got1 = search_maxscore(
+        spark, skewed_index, single, k=10, exact_floor=False, debug_counts=counts
+    ).collect()
+    want1 = search(spark, skewed_index, single, k=10).collect()
+    assert {(r.doc_id, r.score, r.rank) for r in got1} == {
+        (r.doc_id, r.score, r.rank) for r in want1
+    }
+    # the common term's low-dl docs concentrate its high impacts in few
+    # blocks; the rest prune against the champion-partial floor
+    assert counts["blocks_kept"] / counts["blocks_total"] < 0.5, counts
