@@ -86,9 +86,9 @@ def main() -> None:
     # block-count evidence gathered ONCE, untimed (debug_counts adds
     # two extra count jobs that must not pollute the timing)
     counts: dict = {}
-    search_maxscore(spark, idx, queries, k=10, debug_counts=counts).collect()
+    search_maxscore(spark, idx, queries, k=10, debug_counts=counts, strategy="relation").collect()
     t_ms, r_ms = timed(
-        lambda: search_maxscore(spark, idx, queries, k=10).collect()
+        lambda: search_maxscore(spark, idx, queries, k=10, strategy="relation").collect()
     )
     t_ex, r_ex = timed(lambda: search(spark, idx, queries, k=10).collect())
 

@@ -44,6 +44,12 @@ from splade_spark.operators.index_query import (
 )
 from splade_spark.operators.retrieval import query_terms, topk_window
 
+# query relations at or under this row count delegate to the
+# driver-planned fused path (texts collect to ~MBs; the fused planner's
+# per-query work is trivial at this size and its df guard bounds the
+# driver-side metadata)
+FUSED_DELEGATE_LIMIT = 4096
+
 
 def search_maxscore_fused(
     spark: SparkSession,
@@ -412,8 +418,20 @@ def search_maxscore(
     threshold: float = SCORE_THRESHOLD,
     debug_counts: dict | None = None,
     exact_floor: bool | None = None,
+    strategy: str = "auto",
 ) -> DataFrame:
-    """All-DataFrame Block-Max/MaxScore for query RELATIONS.
+    """Block-Max/MaxScore for query RELATIONS.
+
+    ``strategy="auto"`` (default): a small relation (<=
+    ``FUSED_DELEGATE_LIMIT`` rows) collects its texts and delegates to
+    ``search_maxscore_fused`` — the driver-planned pruning passes cost
+    zero cluster jobs and its df guard already bounds driver work, so
+    small batches skip this path's 4-job floor/prune overhead
+    entirely. Large relations run the all-DataFrame plan below, where
+    that fixed overhead amortizes across queries. ``strategy=
+    "relation"`` forces the all-DataFrame plan (tests/benches).
+    All strategies return identical rows (both paths are lossless and
+    share the kernel arithmetic and tie rule).
 
     The floor pass decodes only the champion term's
     highest-``block_max`` blocks covering >= k postings per query (a
@@ -443,6 +461,17 @@ def search_maxscore(
     the k-th score bar is low, pruning is weak in any mode, and the
     cover pass's candidate set is k-sized — overhead without win).
     """
+    if strategy == "auto":
+        head = queries.select("qid", "text").limit(FUSED_DELEGATE_LIMIT + 1).collect()
+        if len(head) <= FUSED_DELEGATE_LIMIT:
+            return search_maxscore_fused(
+                spark,
+                index_dir,
+                [(int(r.qid), r.text) for r in head],
+                k=k,
+                threshold=threshold,
+                debug_counts=debug_counts,
+            )
     if exact_floor is None:
         exact_floor = k <= 100
     term_dict = load_term_dict(spark, index_dir)

@@ -51,7 +51,7 @@ def test_pruning_fires_and_stays_lossless(spark, skewed_index):
     queries = spark.createDataFrame([(1, "rare common")], "qid long, text string")
     counts: dict = {}
     pruned = search_maxscore(
-        spark, skewed_index, queries, k=10, debug_counts=counts
+        spark, skewed_index, queries, k=10, debug_counts=counts, strategy="relation"
     ).collect()
     assert counts["blocks_total"] > 50, counts
     kept_frac = counts["blocks_kept"] / counts["blocks_total"]
@@ -191,7 +191,7 @@ def test_cheap_theta_mode_lossless_and_prunes_single_term(spark, skewed_index):
     multi = spark.createDataFrame([(1, "rare common")], "qid long, text string")
     want = search(spark, skewed_index, multi, k=10).collect()
     got = search_maxscore(
-        spark, skewed_index, multi, k=10, exact_floor=False
+        spark, skewed_index, multi, k=10, exact_floor=False, strategy="relation"
     ).collect()
     assert {(r.doc_id, r.score, r.rank) for r in got} == {
         (r.doc_id, r.score, r.rank) for r in want
@@ -200,7 +200,7 @@ def test_cheap_theta_mode_lossless_and_prunes_single_term(spark, skewed_index):
     single = spark.createDataFrame([(2, "common")], "qid long, text string")
     counts: dict = {}
     got1 = search_maxscore(
-        spark, skewed_index, single, k=10, exact_floor=False, debug_counts=counts
+        spark, skewed_index, single, k=10, exact_floor=False, debug_counts=counts, strategy="relation"
     ).collect()
     want1 = search(spark, skewed_index, single, k=10).collect()
     assert {(r.doc_id, r.score, r.rank) for r in got1} == {
