@@ -143,10 +143,15 @@ def q_term_df_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dfs.orderBy(F.desc("df"), F.asc("term")).limit(100)
 
 
-def q_doc_lens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return tokenize_docs(load_documents(spark, sf_dir)).select(
-        "doc_id", F.col("dl").cast("long").alias("dl")
-    )
+def q_index_search_bmp_k1000(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BMP-style doc-partitioned block-max search (operators/bmp.py;
+    reference's bmp_inference/ export family, engine in-house):
+    lossless block-at-a-time evaluation, so it shares the BM25 twin."""
+    from splade_spark.operators.bmp import build_bmp_index, search_bmp
+
+    idx = _materialized_index(spark, sf_dir)
+    build_bmp_index(spark, idx, doc_block_size=64)
+    return search_bmp(spark, idx, _driver_query_rows(spark, sf_dir), k=1000)
 
 
 def q_posting_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -512,9 +517,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_search_maxscore_k1000": q_index_search_maxscore_k1000,
         "index_search_fused_k1000": q_index_search_fused_k1000,
         "index_search_maxscore_fused_k1000": q_index_search_maxscore_fused_k1000,
+        "index_search_bmp_k1000": q_index_search_bmp_k1000,
         "corpus_stats": q_corpus_stats,
         "term_df_top": q_term_df_top,
-        "doc_lens": q_doc_lens,
         "posting_stats": q_posting_stats,
         "query_terms": q_query_terms,
         "query_terms_thresholded": q_query_terms_thresholded,
@@ -573,9 +578,9 @@ def oracle_sql() -> dict[str, str]:
         "index_search_maxscore_k1000": sql_oracle.bm25_topk_sql(1000),
         "index_search_fused_k1000": sql_oracle.bm25_topk_sql(1000),
         "index_search_maxscore_fused_k1000": sql_oracle.bm25_topk_sql(1000),
+        "index_search_bmp_k1000": sql_oracle.bm25_topk_sql(1000),
         "corpus_stats": sql_oracle.CORPUS_STATS_SQL,
         "term_df_top": sql_oracle.TERM_DF_TOP_SQL,
-        "doc_lens": sql_oracle.DOC_LENS_SQL,
         "posting_stats": sql_oracle.POSTING_STATS_SQL,
         "query_terms": sql_oracle.QUERY_TERMS_SQL,
         "query_terms_thresholded": sql_oracle.QUERY_TERMS_THRESH_SQL,

@@ -49,9 +49,12 @@ def main() -> None:
     qs = entrymod.queries()
     # warm the JVM/parquet footer cache with a trivial action first
     load_documents(spark, SF_DIR).count()
-    # pre-build the entry indexes (float + quantized-only) so the
-    # index_search_* query timings measure search, not a first-call build
-    entrymod._materialized_index(spark, SF_DIR)
+    # pre-build the entry indexes (float + quantized-only + BMP table)
+    # so the index_search_* query timings measure search, not a
+    # first-call build
+    from splade_spark.operators.bmp import build_bmp_index
+
+    build_bmp_index(spark, entrymod._materialized_index(spark, SF_DIR), doc_block_size=64)
     entrymod._materialized_qindex(spark, SF_DIR)
 
     for name, q in sorted(qs.items()):

@@ -40,11 +40,21 @@ def calibrate() -> dict[int, float]:
     return out
 
 
+def qp_tokens(level: dict) -> int:
+    return level.get("tokens_per_doc", 32)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("scaling_json", nargs="+")
     ap.add_argument("--bench")
-    ap.add_argument("--prune", help="scripts/maxscore_prune_bench.py output JSON")
+    ap.add_argument(
+        "--prune",
+        action="append",
+        default=[],
+        help="scripts/maxscore_prune_bench.py output JSON (repeatable)",
+    )
+    ap.add_argument("--qps", help="scripts/batch_qps_bench.py output JSON")
     ap.add_argument("--codec", help="scripts/codec_size_bench.py output JSON")
     ap.add_argument("--no-calibrate", action="store_true")
     args = ap.parse_args()
@@ -97,6 +107,16 @@ def main() -> None:
     row("queries/sec (batch)", "{}", "queries_per_sec")
     row("single-query p50 (s)", "{}", "query_p50_sec")
     row("single-query p99 (s)", "{}", "query_p99_sec")
+    if all("query_maxscore_p50_sec" in levels[c] for c in keys):
+        row("single-query p50, Block-Max fused (s)", "{}", "query_maxscore_p50_sec")
+        row("single-query p99, Block-Max fused (s)", "{}", "query_maxscore_p99_sec")
+        lines += [
+            "",
+            "(The Block-Max rows can only TIE-or-lose here: replicated docs",
+            "equalize every block max, so pruning cannot fire on this corpus",
+            "and the fused path pays its driver passes for nothing. The",
+            "pruning section below shows the regime it exists for.)",
+        ]
 
     lines += ["", "### N -> 4N efficiency (index docs/sec)", ""]
     for lo, hi in [(a, b) for a in keys for b in keys if b == 4 * a]:
@@ -154,34 +174,61 @@ def main() -> None:
     ]
 
     if args.prune:
-        with open(args.prune) as f:
-            pr = json.load(f)
         lines += [
             "## MaxScore / Block-Max pruning evidence (skewed corpus)",
             "",
             "The replicated scaling corpus equalizes block maxima, so pruning",
             "can't fire there. `scripts/maxscore_prune_bench.py` builds a",
-            f"{pr['docs']:,}-doc corpus with the skew pruning exploits (doc-length",
-            "cycle + tf-heavy candidate docs — the BM25 analog of SPLADE's",
-            "impact-weight skew) and runs one 11-term query:",
+            "corpus with the skew pruning exploits (doc-length cycle +",
+            "tf-heavy candidate docs — the BM25 analog of SPLADE's",
+            "impact-weight skew) and runs one 11-term query. `search_maxscore`",
+            "is forced onto the all-DataFrame plan (strategy='relation');",
+            "with strategy='auto' a 1-query relation would delegate to the",
+            "fused row.",
             "",
-            "| metric | value |",
-            "|---|---|",
-            f"| blocks total (per-query-term) | {pr['blocks_total']:,} |",
-            f"| blocks kept after pruning | {pr['blocks_kept']:,} "
-            f"({pr['kept_frac']:.2%}) |",
-            f"| `search_fused` (exhaustive, 2-stage) best wall | {pr['exhaustive_fused_best_s']} s |",
-            f"| `search_maxscore_fused` (driver-side passes) best wall | "
-            f"**{pr['maxscore_fused_best_s']} s** ({pr['fused_speedup']}x) |",
-            f"| `search` (exhaustive DataFrame) best wall | {pr['exhaustive_best_s']} s |",
-            f"| `search_maxscore` (all-DataFrame two-pass) best wall | {pr['maxscore_best_s']} s |",
-            "| results vs exhaustive | identical (lossless, asserted) |",
+        ]
+        prs = []
+        for path in args.prune:
+            with open(path) as f:
+                prs.append(json.load(f))
+        hdr = " | ".join(f"{pr['docs']:,} docs" for pr in prs)
+        lines += [
+            f"| metric | {hdr} |",
+            "|---|" + "---|" * len(prs),
+        ]
+
+        def prow(label, fmt, key, bold=False):
+            cells = " | ".join(
+                (f"**{fmt.format(pr[key])}**" if bold else fmt.format(pr[key]))
+                for pr in prs
+            )
+            lines.append(f"| {label} | {cells} |")
+
+        prow("blocks total (per-query-term)", "{:,}", "blocks_total")
+        lines.append(
+            "| blocks kept after pruning | "
+            + " | ".join(
+                f"{pr['blocks_kept']:,} ({pr['kept_frac']:.2%})" for pr in prs
+            )
+            + " |"
+        )
+        prow("`search_fused` (exhaustive, 2-stage) best wall (s)", "{}", "exhaustive_fused_best_s")
+        prow("`search_maxscore_fused` (driver-side passes) best wall (s)", "{}", "maxscore_fused_best_s", bold=True)
+        prow("`search` (exhaustive DataFrame) best wall (s)", "{}", "exhaustive_best_s")
+        prow("`search_maxscore` (all-DataFrame two-pass) best wall (s)", "{}", "maxscore_best_s", bold=True)
+        lines += [
+            "| results vs exhaustive | " + " | ".join("identical (lossless, asserted)" for _ in prs) + " |",
             "",
-            "The all-DataFrame `search_maxscore` pays ~12 stages of plan",
-            "overhead — on a local JVM that exceeds the decode work it saves,",
-            "so it is the CLUSTER path for query relations; the fused variant",
-            "runs both pruning passes driver-side on metadata-scale pyarrow",
-            "scans and ships ONE pruned scan, which is the low-latency path.",
+            "The all-DataFrame plan pays a ~4-job fixed floor (bucket",
+            "literals, champion selection, retained-pair collect, final",
+            "pruned scan); the (term_id, block_id) retained set becomes a",
+            "LITERAL parquet filter, so its byte reads scale with blocks",
+            "KEPT, not blocks total — it overtakes exhaustive once the",
+            "corpus outgrows the fixed overhead (see the larger column) and",
+            "keeps widening from there. Small query relations never pay that",
+            "floor: strategy='auto' delegates them to the fused planner,",
+            "whose driver-side passes answer sub-256-block retained sets",
+            "with zero cluster jobs.",
             "",
         ]
 
@@ -206,6 +253,36 @@ def main() -> None:
             "parity; production indexes that score on quantized impacts",
             "(`search_quantized`, the PISA arithmetic) drop it with",
             "`store_impacts=False` for ~2.2x smaller postings.",
+            "",
+        ]
+
+    if args.qps:
+        with open(args.qps) as f:
+            qp = json.load(f)
+        lvls = {int(k): v for k, v in qp["levels"].items()}
+        qkeys = sorted(lvls)
+        any_l = lvls[qkeys[0]]
+        lines += [
+            "## Batch query throughput — selective-vocabulary corpus",
+            "",
+            "The replicated scaling corpus has a ~31-term vocabulary, so every",
+            "query matches every document and batch q/s degenerates to",
+            "exhaustive scoring (fixture-bound). `scripts/batch_qps_bench.py`",
+            f"draws each doc's {qp_tokens(any_l)} tokens pseudo-randomly from a",
+            f"{any_l['vocab']:,}-term vocabulary (multiplicative doc_id hashing,",
+            "deterministic), so a 4-term query touches ~0.26% of the corpus —",
+            "the regime an inverted index exists for:",
+            "",
+            "| metric | " + " | ".join(f"local[{c}]" for c in qkeys) + " |",
+            "|---|" + "---|" * len(qkeys),
+            "| corpus docs | " + " | ".join(f"{lvls[c]['n_docs']:,}" for c in qkeys) + " |",
+            "| index build wall (s) | " + " | ".join(str(lvls[c]["build_wall_sec"]) for c in qkeys) + " |",
+            "| batch queries | " + " | ".join(str(lvls[c]["n_queries"]) for c in qkeys) + " |",
+            "| **queries/sec** | " + " | ".join(f"**{lvls[c]['queries_per_sec']}**" for c in qkeys) + " |",
+            "",
+            f"q/s scaling {min(qkeys)}->{max(qkeys)} cores: speedup"
+            f" {qp['qps_speedup']}x, efficiency {qp['qps_scaling_efficiency']}"
+            f" (reference baseline: ~12-13 q/s batch-1 on an A40).",
             "",
         ]
 

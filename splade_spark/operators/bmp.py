@@ -1,0 +1,296 @@
+"""BMP-style doc-partitioned block-max layout + block-at-a-time search.
+
+The reference feeds its quantized vectors to the external BMP engine
+(bmp_inference/inference_all_beir_doc_bmp.py exports; the engine
+implements Mallia et al.'s "Faster Learned Sparse Retrieval with
+Block-Max Pruning", doc-space blocks + per-(term, block) maxima +
+block-at-a-time evaluation). Like the PISA/MaxScore case, the engine
+itself is external to the reference — here the same structure is
+built and queried in-engine, Spark-first.
+
+Layout (``bmp/`` beside the postings table):
+    (term_id int, doc_block long, ub double) partitioned by the SAME
+    content-addressed ``bucket(md5(term))`` as the postings, sorted by
+    (term_id, doc_block) — query-time scans prune by bucket directory
+    and row-group stats exactly like the inverted index. doc_block =
+    doc_id // doc_block_size; ub = max BM25 impact of the term inside
+    that doc range. The relation is metadata-scale relative to
+    postings: <= min(df_t, N/B) rows per term.
+
+Search (driver-planned, the fused-path shape):
+    1. per doc_block, UB(block) = sum_t q_tf_t * ub_{t,block} — an
+       upper bound on every member doc's score (monotone, like WAND's
+       total UB but at doc-block granularity);
+    2. evaluate blocks in DESCENDING UB order: exact-score all docs of
+       the first M blocks (postings fetched through the same literal
+       doc-range + term filters the index serves), take the running
+       k-th score theta;
+    3. LOSSLESS CERTIFICATE: if theta >= UB of the best unevaluated
+       block, no remaining doc can enter the top-k — stop. Otherwise
+       double M and repeat (geometric, so total work <= 2x the final
+       evaluated set). This reproduces BMP's block-at-a-time loop
+       set-at-a-time instead of block-at-a-time, which is the batch
+       shape Spark/numpy want.
+
+Scale guards mirror ``search_maxscore_fused``: per-term bmp rows are
+bounded by df/doc_block_size read from the term dictionary BEFORE any
+bmp/postings access; over-limit queries fall back to ``search_fused``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from splade_spark import SCORE_THRESHOLD, TOPK_DEFAULT
+
+DEFAULT_DOC_BLOCK = 4096
+
+
+def build_bmp_index(
+    spark: SparkSession,
+    index_dir: str,
+    doc_block_size: int = DEFAULT_DOC_BLOCK,
+) -> str:
+    """Derive the doc-partitioned block-max table from the compressed
+    postings (one decode pass -> groupBy max -> sorted bucket write).
+    Idempotent: committed via the index manifest like a finalize step.
+    """
+    from splade_spark.operators.index_build import POSTINGS_ROWGROUP_BYTES
+    from splade_spark.operators.index_query import (
+        decode_blocks_df,
+        load_postings,
+        load_stats,
+    )
+    from splade_spark.plans.snapshots import Manifest, dir_bytes
+
+    bmp_dir = os.path.join(index_dir, "bmp")
+    man = Manifest.load(index_dir)
+    key = f"bmp:{doc_block_size}"
+    if key in man.committed("bmp"):
+        return bmp_dir
+    import time as _time
+
+    t0 = _time.time()
+    stats = load_stats(index_dir)
+    from splade_spark.operators.index_query import require_impacts
+
+    require_impacts(stats)
+    postings = load_postings(spark, index_dir)
+    decoded = decode_blocks_df(postings, stats.get("gap_codec", "vbyte"))
+    bmp = (
+        decoded.withColumn(
+            "doc_block", (F.col("doc_id") / F.lit(doc_block_size)).cast("long")
+        )
+        .groupBy("term_id", "doc_block")
+        .agg(F.max("impact").alias("ub"))
+    )
+    # bucket comes from the term dictionary (content-addressed md5) so
+    # query-time bucket literals prune bmp exactly like postings
+    term_dict = spark.read.parquet(os.path.join(index_dir, "term_dict")).select(
+        "term_id", "bucket"
+    )
+    (
+        bmp.join(F.broadcast(term_dict), "term_id")
+        .repartition("bucket")
+        .sortWithinPartitions("term_id", "doc_block")
+        .write.mode("overwrite")
+        .option("parquet.block.size", str(POSTINGS_ROWGROUP_BYTES))
+        .partitionBy("bucket")
+        .parquet(bmp_dir)
+    )
+    man.commit(
+        "bmp",
+        key,
+        bytes_=dir_bytes(bmp_dir),
+        wall_ms=int((_time.time() - t0) * 1000),
+    )
+    # record the block size for the query side
+    import json
+
+    with open(os.path.join(bmp_dir, "_bmp.json"), "w") as f:
+        json.dump({"doc_block_size": doc_block_size}, f)
+    return bmp_dir
+
+
+def search_bmp(
+    spark: SparkSession,
+    index_dir: str,
+    query_rows: list[tuple[int, str]],
+    k: int = TOPK_DEFAULT,
+    threshold: float = SCORE_THRESHOLD,
+    term_block_limit: int = 500_000,
+    debug_counts: dict | None = None,
+) -> DataFrame:
+    """Block-at-a-time BMP search for driver-resident queries.
+
+    Lossless: stops only when the running k-th EXACT score >= the best
+    unevaluated doc-block's UB (each UB bounds every member doc's
+    total score from above because per-(term, block) ub >= every
+    member impact and contributions are nonnegative).
+
+    Falls back to exhaustive ``search_fused`` BEFORE touching the bmp
+    or postings datasets when any hit term's bmp row estimate
+    (min(df, n_docs/doc_block_size)) exceeds ``term_block_limit`` —
+    the same dictionary-scan-only guard discipline as
+    ``search_maxscore_fused``.
+    """
+    import json
+    from collections import Counter
+
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    from splade_spark.functions.tokenize import py_tokenize
+    from splade_spark.operators.index_query import (
+        decode_blocks_vectorized,
+        load_stats,
+        require_impacts,
+        search_fused,
+    )
+
+    stats = load_stats(index_dir)
+    require_impacts(stats)
+    gap_codec = stats.get("gap_codec", "vbyte")
+    n_docs = int(stats["n_docs"])
+    bmp_dir = os.path.join(index_dir, "bmp")
+    with open(os.path.join(bmp_dir, "_bmp.json")) as f:
+        doc_block_size = int(json.load(f)["doc_block_size"])
+
+    qtf: dict[int, Counter] = {
+        qid: Counter(py_tokenize(text)) for qid, text in query_rows
+    }
+    all_terms = sorted({t for c in qtf.values() for t in c})
+    dict_tbl = pads.dataset(os.path.join(index_dir, "term_dict")).to_table(
+        columns=["term", "term_id", "df"],
+        filter=pads.field("term").isin(all_terms),
+    )
+    tid_of = dict(
+        zip(dict_tbl.column("term").to_pylist(), dict_tbl.column("term_id").to_pylist())
+    )
+    dfs = dict(
+        zip(dict_tbl.column("term_id").to_pylist(), dict_tbl.column("df").to_pylist())
+    )
+    max_blocks = n_docs // doc_block_size + 1
+    if any(min(df, max_blocks) > term_block_limit for df in dfs.values()):
+        return search_fused(spark, index_dir, query_rows, k, threshold)
+
+    q_terms: dict[int, dict[int, float]] = {}
+    for qid, c in qtf.items():
+        t = {tid_of[w]: float(tf) for w, tf in c.items() if w in tid_of}
+        if t:
+            q_terms[qid] = t
+    if not q_terms:
+        return spark.createDataFrame(
+            [], "qid long, doc_id long, score double, rank int"
+        )
+    hit_terms = sorted({t for d in q_terms.values() for t in d})
+
+    bmp_tbl = pads.dataset(bmp_dir, partitioning="hive").to_table(
+        columns=["term_id", "doc_block", "ub"],
+        filter=pads.field("term_id").isin(hit_terms),
+    )
+    b_tid = bmp_tbl.column("term_id").to_numpy()
+    b_blk = bmp_tbl.column("doc_block").to_numpy()
+    b_ub = bmp_tbl.column("ub").to_numpy()
+
+    post_ds = pads.dataset(
+        os.path.join(index_dir, "postings"), partitioning="hive"
+    )
+
+    def exact_scores_in_ranges(tids_w: dict[int, float], blocks: np.ndarray):
+        """(doc_ids, scores) for ALL docs inside the given doc_blocks,
+        scored over the query's terms — reads only posting blocks whose
+        [first, last] range intersects the chosen doc ranges."""
+        lo = blocks * doc_block_size
+        hi = lo + doc_block_size - 1
+        tids = sorted(tids_w)
+        tbl = post_ds.to_table(
+            columns=["term_id", "first_doc_id", "n", "doc_gap_bytes", "impact_bytes"],
+            filter=pads.field("term_id").isin(tids)
+            & (pads.field("first_doc_id") <= int(hi.max()))
+            & (pads.field("last_doc_id") >= int(lo.min())),
+        )
+        if tbl.num_rows == 0:
+            return np.zeros(0, dtype=np.int64), np.zeros(0)
+        ns = tbl.column("n").to_numpy().astype(np.int64)
+        doc_ids, impacts = decode_blocks_vectorized(
+            tbl.column("first_doc_id").to_numpy().astype(np.int64),
+            ns,
+            tbl.column("doc_gap_bytes").to_pylist(),
+            tbl.column("impact_bytes").to_pylist(),
+            gap_codec,
+        )
+        tid_rep = np.repeat(tbl.column("term_id").to_numpy().astype(np.int64), ns)
+        # keep only docs whose doc_block is in the chosen set
+        blk_of = doc_ids // doc_block_size
+        sel = np.isin(blk_of, blocks)
+        if not sel.any():
+            return np.zeros(0, dtype=np.int64), np.zeros(0)
+        d = doc_ids[sel]
+        w = impacts[sel]
+        t = tid_rep[sel]
+        qw = np.zeros(max(tids) + 1)
+        for tt, ww in tids_w.items():
+            qw[tt] = ww
+        contrib = w * qw[t]
+        uniq, inv = np.unique(d, return_inverse=True)
+        return uniq, np.round(np.bincount(inv, weights=contrib), 6)
+
+    out_rows = []
+    total_blocks = 0
+    eval_blocks = 0
+    for qid, tids_w in q_terms.items():
+        # per-doc_block UB = sum q_tf * ub over the query's terms
+        m = np.isin(b_tid, list(tids_w))
+        if not m.any():
+            continue
+        blk = b_blk[m]
+        qw_arr = np.array([tids_w[int(t)] for t in b_tid[m]])
+        ubs = b_ub[m] * qw_arr
+        uniq_blk, inv = np.unique(blk, return_inverse=True)
+        blk_ub = np.bincount(inv, weights=ubs)
+        order = np.argsort(-blk_ub, kind="stable")
+        total_blocks += len(uniq_blk)
+
+        # geometric block-at-a-time evaluation with lossless certificate
+        m_eval = max(1, (k + doc_block_size - 1) // doc_block_size)
+        best_d = np.zeros(0, dtype=np.int64)
+        best_s = np.zeros(0)
+        done = 0
+        while True:
+            take = order[done : min(m_eval, len(order))]
+            if len(take) > 0:
+                d, s = exact_scores_in_ranges(tids_w, uniq_blk[take])
+                best_d = np.concatenate([best_d, d])
+                best_s = np.concatenate([best_s, s])
+                done = min(m_eval, len(order))
+            if done >= len(order):
+                break
+            next_ub = blk_ub[order[done]]
+            # STRICT certificate with rounding slop: scores are rounded
+            # to 6dp (shared with the oracle), so require the k-th
+            # exact score to clear the best unevaluated UB by more than
+            # one rounding ulp; '>' not '>=' because ties break by
+            # doc_id and an unevaluated equal-score doc could still
+            # enter the top-k
+            if len(best_s) >= k and np.partition(best_s, -k)[-k] > next_ub + 1e-6:
+                break
+            m_eval *= 2
+        eval_blocks += done
+
+        keep = best_s > threshold
+        ranked = sorted(
+            zip(best_d[keep].tolist(), best_s[keep].tolist()),
+            key=lambda p: (-p[1], p[0]),
+        )[:k]
+        out_rows += [(qid, doc, s, r + 1) for r, (doc, s) in enumerate(ranked)]
+
+    if debug_counts is not None:
+        debug_counts["doc_blocks_total"] = total_blocks
+        debug_counts["doc_blocks_evaluated"] = eval_blocks
+    return spark.createDataFrame(
+        out_rows, "qid long, doc_id long, score double, rank int"
+    )

@@ -333,17 +333,27 @@ def finalize_index(
                 _encoder(block_size, gap_codec, store_impacts), schema=S.POSTINGS
             )
         )
-        # sorted + small-row-group write: within each bucket file rows
-        # are ordered by (term_id, block_id) and row groups capped at
+        # sorted + small-row-group write: files are ordered by
+        # (term_id, block_id) and row groups capped at
         # POSTINGS_ROWGROUP_BYTES, so the query side's literal
         # term_id/block_id filters (search_fused's isin, MaxScore's
         # retained-block IN-lists) skip row groups via min/max stats —
         # the Iceberg sorted-write analog. Unsorted, every row group
         # spans the whole term range and pruned scans silently read
         # the full bucket.
+        #
+        # The shuffle keys on (bucket, term_id) across cores*2
+        # partitions, NOT on bucket alone: n_buckets partitions would
+        # cap the sort at n_buckets-way parallelism (measured -24%
+        # build throughput at local[8]). Each bucket dir then holds
+        # several files, each sorted — per-FILE row-group stats stay
+        # tight, which is what skipping reads. bucket leads the sort
+        # so the dynamic-partition writer streams one bucket at a time
+        # without its own internal resort.
+        sort_parts = spark.sparkContext.defaultParallelism * 2
         (
-            blocks.repartition("bucket")
-            .sortWithinPartitions("term_id", "block_id")
+            blocks.repartition(sort_parts, "bucket", "term_id")
+            .sortWithinPartitions("bucket", "term_id", "block_id")
             .write.mode("overwrite")
             .option("parquet.block.size", str(POSTINGS_ROWGROUP_BYTES))
             .partitionBy("bucket")

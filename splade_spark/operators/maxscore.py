@@ -256,7 +256,15 @@ def search_maxscore_fused(
         # champion-partial order; the covered-range check is
         # order-insensitive, so sorting is safe
         cand = np.sort(d[order])
-        cand_of[qid] = cand
+        q_cover: set[tuple[int, int]] = set()
+        # exact-floor cover budget: when candidates are spread across
+        # ~every block (uniform corpora), the cover set degenerates to
+        # the whole hit-term block set and the driver would decode the
+        # index to seed theta. Past the budget, fall back to the k-th
+        # champion PARTIAL as theta — a valid (weaker) floor that is
+        # already decoded, exactly the regime where the exact floor
+        # wouldn't have pruned anything anyway.
+        cover_budget = 64 * (k // block_size + 1) * max(1, len(rows))
         for tid, _, _ in rows:
             tm = by_term.get(tid)
             if tm is None:
@@ -265,7 +273,15 @@ def search_maxscore_fused(
             ld = tm["last_doc_id"].to_numpy()
             covered = (cand[None, :] >= fd[:, None]) & (cand[None, :] <= ld[:, None])
             for b in tm["block_id"].to_numpy()[covered.any(axis=1)]:
-                cover_pairs.add((tid, int(b)))
+                q_cover.add((tid, int(b)))
+            if len(q_cover) > cover_budget:
+                break
+        if len(q_cover) > cover_budget:
+            if len(part) >= k:
+                theta[qid] = float(np.sort(part)[-k])
+            continue
+        cand_of[qid] = cand
+        cover_pairs.update(q_cover)
     cover_dec = fetch_decode(cover_pairs)
     for qid, rows in q_plan.items():
         cand = cand_of.get(qid)

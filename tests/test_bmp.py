@@ -1,0 +1,89 @@
+"""BMP doc-partitioned block-max layout: lossless vs exhaustive, and
+the block-at-a-time loop must actually skip doc blocks on a skewed
+corpus. Reference anchor: bmp_inference/ exports feed the external BMP
+engine; here the structure and search are in-engine (operators/bmp.py
+docstring)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from splade_spark.operators.bmp import build_bmp_index, search_bmp
+from splade_spark.operators.index_build import build_index
+from splade_spark.operators.index_query import search
+from splade_spark.sources.pages import load_documents
+from splade_spark.synth import derive_queries
+
+from tests.conftest import SF_SMOKE
+
+K = 10
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    idx = str(tmp_path_factory.mktemp("idx_bmp"))
+    docs = load_documents(spark, SF_SMOKE)
+    build_index(docs, idx, n_segments=2, n_buckets=8, block_size=16, salt_unit=64)
+    build_bmp_index(spark, idx, doc_block_size=64)
+    return idx
+
+
+def test_bmp_matches_exhaustive(spark, built):
+    docs = load_documents(spark, SF_SMOKE)
+    qrows = [(int(r.qid), r.text) for r in derive_queries(docs).orderBy("qid").collect()]
+    want = (
+        search(spark, built, derive_queries(docs), k=K)
+        .toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    )
+    got = (
+        search_bmp(spark, built, qrows, k=K)
+        .toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    assert (got.qid.values == want.qid.values).all()
+    assert (got.doc_id.values == want.doc_id.values).all()
+    assert (got.score.values == want.score.values).all()
+
+
+def test_bmp_skips_doc_blocks_on_skewed_corpus(spark, tmp_path):
+    """dl grows with doc_id and the rare term lives in the shortest
+    docs: high-impact docs concentrate in low doc_blocks, so the UB
+    ordering evaluates few blocks before the certificate fires."""
+    rows = [(0, "alpha beta beta beta beta")]
+    for d in range(1, 4000):
+        rows.append(
+            (d, f"beta fill{d % 7} fill{d % 11}" + " pad" * (3 + d // 16))
+        )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = str(tmp_path / "bmp_skew")
+    build_index(docs, idx, n_segments=1, n_buckets=4, block_size=16, salt_unit=256)
+    build_bmp_index(spark, idx, doc_block_size=64)
+    counts: dict = {}
+    got = search_bmp(spark, idx, [(1, "alpha beta")], k=1, debug_counts=counts).toPandas()
+    qdf = spark.createDataFrame([(1, "alpha beta")], "qid long, text string")
+    want = search(spark, idx, qdf, k=1).toPandas()
+    assert got.equals(want)
+    assert int(got.doc_id.iloc[0]) == 0
+    assert counts["doc_blocks_evaluated"] < counts["doc_blocks_total"] / 2, counts
+
+
+def test_bmp_guard_falls_back_to_fused(spark, built):
+    """term_block_limit=0 over-limits every term: must route through
+    exhaustive search_fused and still answer identically."""
+    docs = load_documents(spark, SF_SMOKE)
+    qrows = [(int(r.qid), r.text) for r in derive_queries(docs).orderBy("qid").collect()][:3]
+    got = search_bmp(spark, built, qrows, k=K, term_block_limit=0).toPandas()
+    want = (
+        search(
+            spark,
+            built,
+            spark.createDataFrame(qrows, "qid long, text string"),
+            k=K,
+        )
+        .toPandas()
+    )
+    cols = ["qid", "doc_id", "score", "rank"]
+    a = got[cols].sort_values(["qid", "rank"]).reset_index(drop=True)
+    b = want[cols].sort_values(["qid", "rank"]).reset_index(drop=True)
+    assert a.equals(b)
