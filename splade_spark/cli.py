@@ -107,7 +107,13 @@ def cmd_query(args) -> None:
     else:
         queries = spark.read.parquet(args.queries)
     t0 = time.time()
-    if args.fused:
+    if args.bmp:
+        from splade_spark.operators.bmp import build_bmp_index, search_bmp
+
+        build_bmp_index(spark, args.index_dir)  # no-op if committed
+        qrows = [(r.qid, r.text) for r in queries.collect()]
+        run = search_bmp(spark, args.index_dir, qrows, k=args.k)
+    elif args.fused:
         # driver-resident pruned path: both MaxScore passes on the
         # driver, one pruned scan on the cluster
         qrows = [(r.qid, r.text) for r in queries.collect()]
@@ -236,6 +242,11 @@ def main(argv=None) -> None:
         "--quantized",
         action="store_true",
         help="integer scoring on uint8 quant_bytes (PISA arithmetic)",
+    )
+    pq.add_argument(
+        "--bmp",
+        action="store_true",
+        help="doc-partitioned block-max (BMP) block-at-a-time search",
     )
     pq.add_argument("--out", help="TREC run output dir")
     pq.add_argument("--cores", type=int)

@@ -200,48 +200,9 @@ def search_bmp(
         os.path.join(index_dir, "postings"), partitioning="hive"
     )
 
-    def exact_scores_in_ranges(tids_w: dict[int, float], blocks: np.ndarray):
-        """(doc_ids, scores) for ALL docs inside the given doc_blocks,
-        scored over the query's terms — reads only posting blocks whose
-        [first, last] range intersects the chosen doc ranges."""
-        lo = blocks * doc_block_size
-        hi = lo + doc_block_size - 1
-        tids = sorted(tids_w)
-        tbl = post_ds.to_table(
-            columns=["term_id", "first_doc_id", "n", "doc_gap_bytes", "impact_bytes"],
-            filter=pads.field("term_id").isin(tids)
-            & (pads.field("first_doc_id") <= int(hi.max()))
-            & (pads.field("last_doc_id") >= int(lo.min())),
-        )
-        if tbl.num_rows == 0:
-            return np.zeros(0, dtype=np.int64), np.zeros(0)
-        ns = tbl.column("n").to_numpy().astype(np.int64)
-        doc_ids, impacts = decode_blocks_vectorized(
-            tbl.column("first_doc_id").to_numpy().astype(np.int64),
-            ns,
-            tbl.column("doc_gap_bytes").to_pylist(),
-            tbl.column("impact_bytes").to_pylist(),
-            gap_codec,
-        )
-        tid_rep = np.repeat(tbl.column("term_id").to_numpy().astype(np.int64), ns)
-        # keep only docs whose doc_block is in the chosen set
-        blk_of = doc_ids // doc_block_size
-        sel = np.isin(blk_of, blocks)
-        if not sel.any():
-            return np.zeros(0, dtype=np.int64), np.zeros(0)
-        d = doc_ids[sel]
-        w = impacts[sel]
-        t = tid_rep[sel]
-        qw = np.zeros(max(tids) + 1)
-        for tt, ww in tids_w.items():
-            qw[tt] = ww
-        contrib = w * qw[t]
-        uniq, inv = np.unique(d, return_inverse=True)
-        return uniq, np.round(np.bincount(inv, weights=contrib), 6)
-
-    out_rows = []
+    # ---- per-query UB ordering over doc blocks ----------------------
+    state: dict[int, dict] = {}
     total_blocks = 0
-    eval_blocks = 0
     for qid, tids_w in q_terms.items():
         # per-doc_block UB = sum q_tf * ub over the query's terms
         m = np.isin(b_tid, list(tids_w))
@@ -254,36 +215,113 @@ def search_bmp(
         blk_ub = np.bincount(inv, weights=ubs)
         order = np.argsort(-blk_ub, kind="stable")
         total_blocks += len(uniq_blk)
+        state[qid] = {
+            "blk": uniq_blk,
+            "ub": blk_ub,
+            "order": order,
+            "done": 0,
+            "m": max(1, (k + doc_block_size - 1) // doc_block_size),
+            "misses": 0,
+            "d": np.zeros(0, dtype=np.int64),
+            "s": np.zeros(0),
+        }
 
-        # geometric block-at-a-time evaluation with lossless certificate
-        m_eval = max(1, (k + doc_block_size - 1) // doc_block_size)
-        best_d = np.zeros(0, dtype=np.int64)
-        best_s = np.zeros(0)
-        done = 0
-        while True:
-            take = order[done : min(m_eval, len(order))]
-            if len(take) > 0:
-                d, s = exact_scores_in_ranges(tids_w, uniq_blk[take])
-                best_d = np.concatenate([best_d, d])
-                best_s = np.concatenate([best_s, s])
-                done = min(m_eval, len(order))
-            if done >= len(order):
-                break
-            next_ub = blk_ub[order[done]]
+    # ---- batch-synchronous block-at-a-time rounds -------------------
+    # All active queries' newly chosen blocks are fetched in ONE
+    # postings scan per round (queries share the index bytes), scored
+    # from the shared decode, then each query re-checks its lossless
+    # certificate. A query that misses twice jumps straight to full
+    # evaluation — the geometric ladder only pays when the UB ordering
+    # is actually selective.
+    eval_blocks = 0
+    active = set(state)
+    while active:
+        need: dict[int, np.ndarray] = {}
+        for qid in sorted(active):
+            st = state[qid]
+            take = st["order"][st["done"] : min(st["m"], len(st["order"]))]
+            if len(take):
+                need[qid] = st["blk"][take]
+        if need:
+            all_blocks = np.unique(np.concatenate(list(need.values())))
+            lo = int(all_blocks.min()) * doc_block_size
+            hi = int(all_blocks.max()) * doc_block_size + doc_block_size - 1
+            round_terms = sorted(
+                {t for qid in need for t in q_terms[qid]}
+            )
+            tbl = post_ds.to_table(
+                columns=[
+                    "term_id",
+                    "first_doc_id",
+                    "n",
+                    "doc_gap_bytes",
+                    "impact_bytes",
+                ],
+                filter=pads.field("term_id").isin(round_terms)
+                & (pads.field("first_doc_id") <= hi)
+                & (pads.field("last_doc_id") >= lo),
+            )
+            if tbl.num_rows:
+                ns = tbl.column("n").to_numpy().astype(np.int64)
+                doc_ids, impacts = decode_blocks_vectorized(
+                    tbl.column("first_doc_id").to_numpy().astype(np.int64),
+                    ns,
+                    tbl.column("doc_gap_bytes").to_pylist(),
+                    tbl.column("impact_bytes").to_pylist(),
+                    gap_codec,
+                )
+                tid_rep = np.repeat(
+                    tbl.column("term_id").to_numpy().astype(np.int64), ns
+                )
+                blk_of = doc_ids // doc_block_size
+            else:
+                doc_ids = np.zeros(0, dtype=np.int64)
+        for qid in sorted(need):
+            st = state[qid]
+            tids_w = q_terms[qid]
+            blocks = need[qid]
+            if len(doc_ids):
+                qw = np.zeros(max(tids_w) + 1)
+                for tt, ww in tids_w.items():
+                    qw[tt] = ww
+                sel = (
+                    np.isin(blk_of, blocks)
+                    & (tid_rep <= max(tids_w))
+                )
+                sel &= qw[np.where(sel, tid_rep, 0)] > 0
+                if sel.any():
+                    d = doc_ids[sel]
+                    contrib = impacts[sel] * qw[tid_rep[sel]]
+                    uniq, inv = np.unique(d, return_inverse=True)
+                    st["d"] = np.concatenate([st["d"], uniq])
+                    st["s"] = np.concatenate(
+                        [st["s"], np.round(np.bincount(inv, weights=contrib), 6)]
+                    )
+            st["done"] = min(st["m"], len(st["order"]))
+        for qid in sorted(active):
+            st = state[qid]
+            if st["done"] >= len(st["order"]):
+                active.discard(qid)
+                continue
+            next_ub = st["ub"][st["order"][st["done"]]]
             # STRICT certificate with rounding slop: scores are rounded
             # to 6dp (shared with the oracle), so require the k-th
             # exact score to clear the best unevaluated UB by more than
             # one rounding ulp; '>' not '>=' because ties break by
             # doc_id and an unevaluated equal-score doc could still
             # enter the top-k
-            if len(best_s) >= k and np.partition(best_s, -k)[-k] > next_ub + 1e-6:
-                break
-            m_eval *= 2
-        eval_blocks += done
+            if len(st["s"]) >= k and np.partition(st["s"], -k)[-k] > next_ub + 1e-6:
+                active.discard(qid)
+                continue
+            st["misses"] += 1
+            st["m"] = len(st["order"]) if st["misses"] >= 2 else st["m"] * 2
 
-        keep = best_s > threshold
+    out_rows = []
+    for qid, st in state.items():
+        eval_blocks += st["done"]
+        keep = st["s"] > threshold
         ranked = sorted(
-            zip(best_d[keep].tolist(), best_s[keep].tolist()),
+            zip(st["d"][keep].tolist(), st["s"][keep].tolist()),
             key=lambda p: (-p[1], p[0]),
         )[:k]
         out_rows += [(qid, doc, s, r + 1) for r, (doc, s) in enumerate(ranked)]
