@@ -115,7 +115,10 @@ def main() -> None:
             "(The Block-Max rows can only TIE-or-lose here: replicated docs",
             "equalize every block max, so pruning cannot fire on this corpus",
             "and the fused path pays its driver passes for nothing. The",
-            "pruning section below shows the regime it exists for.)",
+            "pruning section below shows the regime it exists for. The",
+            "batch-q/s row is likewise fixture-bound — the 31-term",
+            "vocabulary makes every query match all 4M docs; the",
+            "selective-vocabulary section below is the honest q/s number.)",
         ]
 
     lines += ["", "### N -> 4N efficiency (index docs/sec)", ""]
