@@ -188,7 +188,10 @@ def q_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     k=10 run exactly (deterministic (-score, doc_id) ranking), and
     Catalyst reuses the run's exchanges across the union branches."""
     docs = load_documents(spark, sf_dir)
-    run = bm25_run(docs, k=1000)
+    # persist: the three metric branches share the run relation but
+    # Catalyst does not reuse exchanges across union branches here —
+    # unpersisted, the BM25 pipeline executes three times
+    run = bm25_run(docs, k=1000).persist()
     qrels = derive_qrels(docs)
     return (
         mrr_at_k(run, qrels, k=10)

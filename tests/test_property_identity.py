@@ -12,6 +12,7 @@ import tempfile
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from splade_spark.operators.bmp import build_bmp_index, search_bmp
 from splade_spark.operators.index_build import build_index
 from splade_spark.operators.index_query import search, search_fused
 from splade_spark.operators.maxscore import search_maxscore_fused
@@ -60,10 +61,15 @@ def test_compressed_paths_match_oracle(spark, corpus, qtexts, gap_codec):
 
     want = {qid: oracle.score_query(text, K) for qid, text in qrows}
 
+    # tiny doc blocks so the BMP certificate loop actually rounds over
+    # many blocks (duplicate texts -> score ties exercise strictness)
+    build_bmp_index(spark, index_dir, doc_block_size=8)
+
     for label, run in [
         ("search", search(spark, index_dir, qdf, k=K)),
         ("fused", search_fused(spark, index_dir, qrows, k=K)),
         ("maxscore_fused", search_maxscore_fused(spark, index_dir, qrows, k=K)),
+        ("bmp", search_bmp(spark, index_dir, qrows, k=K)),
     ]:
         got: dict[int, list[tuple[int, float]]] = {qid: [] for qid, _ in qrows}
         for r in sorted(run.collect(), key=lambda r: (r.qid, r.rank)):
