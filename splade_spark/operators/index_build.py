@@ -437,23 +437,36 @@ def append_index(
     """
     spark = documents.sparkSession
     man = Manifest.load(index_dir)
-    if "index" not in man.committed("finalize"):
+    seg_done = man.committed("segment")
+    # an append that died AFTER its first segment commit (stage A or
+    # mid-finalize) is resumed by re-calling with the same epoch: its
+    # committed segments identify the in-flight append, the finalize
+    # state on disk may be mid-rewrite (so the docs-dim clash check is
+    # skipped — it already passed when the epoch first started)
+    resuming = epoch is not None and any(
+        k.startswith(f"{epoch}-seg=") for k in seg_done
+    )
+    if "index" not in man.committed("finalize") and not resuming:
         raise ValueError(
             "append_index requires a fully finalized index; run "
-            "build_index first (or resume the interrupted build)"
+            "build_index first (or resume the interrupted build/append "
+            "by passing its epoch)"
         )
-    docs_dim = os.path.join(index_dir, "docs")
-    clash = (
-        documents.select("doc_id")
-        .join(spark.read.parquet(docs_dim).select("doc_id"), "doc_id", "left_semi")
-        .limit(1)
-        .count()
-    )
-    if clash:
-        raise ValueError(
-            "append_index: new doc_ids overlap the indexed corpus — "
-            "appended documents must carry fresh doc_ids"
+    if not resuming:
+        docs_dim = os.path.join(index_dir, "docs")
+        clash = (
+            documents.select("doc_id")
+            .join(
+                spark.read.parquet(docs_dim).select("doc_id"), "doc_id", "left_semi"
+            )
+            .limit(1)
+            .count()
         )
+        if clash:
+            raise ValueError(
+                "append_index: new doc_ids overlap the indexed corpus — "
+                "appended documents must carry fresh doc_ids"
+            )
     if epoch is None:
         prior = {
             s["key"].split("-seg=")[0]
@@ -467,7 +480,14 @@ def append_index(
         prior = json.load(f)
     build_segments(documents, index_dir, n_segments, key_prefix=f"{epoch}-")
     man = Manifest.load(index_dir)
-    man.retract("finalize", reason=f"append:{epoch}")
+    # retract exactly ONCE per epoch: a resume after a mid-finalize
+    # crash must keep the crashed run's committed sub-steps (stats /
+    # term_dict / postings) instead of redoing them
+    retract_key = f"finalize:append:{epoch}"
+    if not any(
+        s["stage"] == "retract" and s["key"] == retract_key for s in man.snapshots
+    ):
+        man.retract("finalize", reason=f"append:{epoch}")
     return finalize_index(
         spark,
         index_dir,

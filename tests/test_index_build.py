@@ -266,3 +266,108 @@ def test_append_index_equals_full_rebuild(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="overlap"):
         append_index(part_b.limit(1), inc_idx, n_segments=1)
+
+
+def test_append_resumes_with_same_epoch(spark, tmp_path, monkeypatch):
+    """An append killed during stage A resumes idempotently when
+    re-called with the SAME epoch: committed new segments skip, no
+    duplicate postings appear, and the result still equals a full
+    rebuild."""
+    from splade_spark.operators import index_build as ib
+    from splade_spark.operators.index_build import append_index, build_index
+
+    docs = load_documents(spark, SF_SMOKE)
+    part_a = docs.filter("doc_id % 4 != 0")
+    part_b = docs.filter("doc_id % 4 = 0")
+    idx = str(tmp_path / "resume_append_idx")
+    build_index(part_a, idx, n_segments=2, n_buckets=8)
+
+    # crash after the FIRST new segment commits
+    real = ib.build_segment
+    calls = {"n": 0}
+
+    def crashing(documents, index_dir, seg, n_segments, key_prefix=""):
+        if calls["n"] >= 1:
+            raise RuntimeError("simulated kill mid-append")
+        calls["n"] += 1
+        return real(documents, index_dir, seg, n_segments, key_prefix)
+
+    monkeypatch.setattr(ib, "build_segment", crashing)
+    with pytest.raises(RuntimeError, match="mid-append"):
+        append_index(part_b, idx, n_segments=2, epoch="ep1")
+    monkeypatch.setattr(ib, "build_segment", real)
+
+    # resume with the SAME epoch — only the missing segment builds
+    append_index(part_b, idx, n_segments=2, epoch="ep1")
+    assert calls["n"] == 1  # crashing stub built exactly one segment
+
+    full_idx = str(tmp_path / "resume_full_idx")
+    build_index(docs, full_idx, n_segments=2, n_buckets=8)
+    queries = derive_queries(docs)
+    want = (
+        search(spark, full_idx, queries, k=10)
+        .toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    )
+    got = (
+        search(spark, idx, queries, k=10)
+        .toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    )
+    assert got.equals(want)
+
+
+def test_append_resumes_through_finalize_crash(spark, tmp_path, monkeypatch):
+    """An append killed INSIDE the re-finalize (term_dict swap window)
+    resumes by re-calling with the same epoch: the epoch's committed
+    segments mark the in-flight append (clash check against the
+    mid-rewrite docs dim is skipped), the retraction is not repeated
+    (committed finalize sub-steps are kept), and the finished index
+    equals a full rebuild."""
+    from splade_spark.operators.index_build import append_index, build_index
+
+    docs = load_documents(spark, SF_SMOKE)
+    part_a = docs.filter("doc_id % 4 != 0")
+    part_b = docs.filter("doc_id % 4 = 0")
+    idx = str(tmp_path / "rf_append_idx")
+    build_index(part_a, idx, n_segments=2, n_buckets=8)
+
+    tmp_td = os.path.join(idx, "term_dict_tmp")
+    real_rename = os.rename
+
+    def crashing_rename(src, dst):
+        if src == tmp_td:
+            raise RuntimeError("simulated crash inside append finalize")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", crashing_rename)
+    with pytest.raises(RuntimeError, match="append finalize"):
+        append_index(part_b, idx, n_segments=2, epoch="ep2")
+    monkeypatch.setattr(os, "rename", real_rename)
+
+    man = Manifest.load(idx)
+    n_retracts = sum(
+        1 for s in man.snapshots
+        if s["stage"] == "retract" and s["key"] == "finalize:append:ep2"
+    )
+    assert n_retracts == 1
+
+    append_index(part_b, idx, n_segments=2, epoch="ep2")
+    man = Manifest.load(idx)
+    assert "index" in man.committed("finalize")
+    # the second call must NOT have retracted again
+    assert sum(
+        1 for s in man.snapshots
+        if s["stage"] == "retract" and s["key"] == "finalize:append:ep2"
+    ) == 1
+
+    full_idx = str(tmp_path / "rf_full_idx")
+    build_index(docs, full_idx, n_segments=2, n_buckets=8)
+    queries = derive_queries(docs)
+    want = (
+        search(spark, full_idx, queries, k=10)
+        .toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    )
+    got = (
+        search(spark, idx, queries, k=10)
+        .toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    )
+    assert got.equals(want)
