@@ -110,9 +110,13 @@ def cmd_query(args) -> None:
     if args.bmp:
         from splade_spark.operators.bmp import build_bmp_index, search_bmp
 
-        build_bmp_index(spark, args.index_dir)  # no-op if committed
+        # no-op if committed; --quantized selects the uint8 layout
+        # (the only one available on a store_impacts=False index)
+        build_bmp_index(spark, args.index_dir, quantized=args.quantized)
         qrows = [(r.qid, r.text) for r in queries.collect()]
-        run = search_bmp(spark, args.index_dir, qrows, k=args.k)
+        run = search_bmp(
+            spark, args.index_dir, qrows, k=args.k, quantized=args.quantized
+        )
     elif args.fused:
         # driver-resident pruned path: both MaxScore passes on the
         # driver, one pruned scan on the cluster

@@ -53,39 +53,52 @@ def build_bmp_index(
     spark: SparkSession,
     index_dir: str,
     doc_block_size: int = DEFAULT_DOC_BLOCK,
+    quantized: bool = False,
 ) -> str:
     """Derive the doc-partitioned block-max table from the compressed
     postings (one decode pass -> groupBy max -> sorted bucket write).
     Idempotent: committed via the index manifest like a finalize step.
+
+    ``quantized=True`` derives integer maxima from the uint8
+    quant_bytes payload (``bmp_q/`` table) — this is the layout the
+    external BMP engine actually consumes (quantized impacts,
+    bmp_inference exports) and the only one available on a
+    ``store_impacts=False`` index.
     """
     from splade_spark.operators.index_build import POSTINGS_ROWGROUP_BYTES
     from splade_spark.operators.index_query import (
         decode_blocks_df,
+        decode_blocks_quant_df,
         load_postings,
         load_stats,
     )
     from splade_spark.plans.snapshots import Manifest, dir_bytes
 
-    bmp_dir = os.path.join(index_dir, "bmp")
+    bmp_dir = os.path.join(index_dir, "bmp_q" if quantized else "bmp")
     man = Manifest.load(index_dir)
-    key = f"bmp:{doc_block_size}"
+    key = f"{'bmpq' if quantized else 'bmp'}:{doc_block_size}"
     if key in man.committed("bmp"):
         return bmp_dir
     import time as _time
 
     t0 = _time.time()
     stats = load_stats(index_dir)
-    from splade_spark.operators.index_query import require_impacts
-
-    require_impacts(stats)
     postings = load_postings(spark, index_dir)
-    decoded = decode_blocks_df(postings, stats.get("gap_codec", "vbyte"))
+    if quantized:
+        decoded = decode_blocks_quant_df(postings, stats.get("gap_codec", "vbyte"))
+        val = F.col("d_w")
+    else:
+        from splade_spark.operators.index_query import require_impacts
+
+        require_impacts(stats)
+        decoded = decode_blocks_df(postings, stats.get("gap_codec", "vbyte"))
+        val = F.col("impact")
     bmp = (
         decoded.withColumn(
             "doc_block", (F.col("doc_id") / F.lit(doc_block_size)).cast("long")
         )
         .groupBy("term_id", "doc_block")
-        .agg(F.max("impact").alias("ub"))
+        .agg(F.max(val).alias("ub"))
     )
     # bucket comes from the term dictionary (content-addressed md5) so
     # query-time bucket literals prune bmp exactly like postings
@@ -123,6 +136,7 @@ def search_bmp(
     threshold: float = SCORE_THRESHOLD,
     term_block_limit: int = 500_000,
     debug_counts: dict | None = None,
+    quantized: bool = False,
 ) -> DataFrame:
     """Block-at-a-time BMP search for driver-resident queries.
 
@@ -136,6 +150,13 @@ def search_bmp(
     (min(df, n_docs/doc_block_size)) exceeds ``term_block_limit`` —
     the same dictionary-scan-only guard discipline as
     ``search_maxscore_fused``.
+
+    ``quantized=True`` runs the PISA/BMP integer arithmetic: x50-clip
+    query weights, uint8 doc impacts from quant_bytes, integer score
+    ``sum(q_w * d_w)`` with an EXACT integer certificate (no rounding
+    slop) — matches ``search_quantized`` row-for-row and is the only
+    path on a ``store_impacts=False`` index (its fallback is
+    ``search_quantized``). Returns score long instead of double.
     """
     import json
     from collections import Counter
@@ -146,18 +167,28 @@ def search_bmp(
     from splade_spark.functions.tokenize import py_tokenize
     from splade_spark.operators.index_query import (
         decode_blocks_vectorized,
+        decode_doc_ids_vectorized,
         load_stats,
         require_impacts,
         search_fused,
     )
 
     stats = load_stats(index_dir)
-    require_impacts(stats)
+    if not quantized:
+        require_impacts(stats)
     gap_codec = stats.get("gap_codec", "vbyte")
     n_docs = int(stats["n_docs"])
-    bmp_dir = os.path.join(index_dir, "bmp")
+    bmp_dir = os.path.join(index_dir, "bmp_q" if quantized else "bmp")
     with open(os.path.join(bmp_dir, "_bmp.json")) as f:
         doc_block_size = int(json.load(f)["doc_block_size"])
+
+    def exhaustive_fallback():
+        if quantized:
+            from splade_spark.operators.index_query import search_quantized
+
+            qdf = spark.createDataFrame(query_rows, "qid long, text string")
+            return search_quantized(spark, index_dir, qdf, k=k)
+        return search_fused(spark, index_dir, query_rows, k, threshold)
 
     qtf: dict[int, Counter] = {
         qid: Counter(py_tokenize(text)) for qid, text in query_rows
@@ -175,17 +206,29 @@ def search_bmp(
     )
     max_blocks = n_docs // doc_block_size + 1
     if any(min(df, max_blocks) > term_block_limit for df in dfs.values()):
-        return search_fused(spark, index_dir, query_rows, k, threshold)
+        return exhaustive_fallback()
 
+    out_schema = (
+        "qid long, doc_id long, score long, rank int"
+        if quantized
+        else "qid long, doc_id long, score double, rank int"
+    )
     q_terms: dict[int, dict[int, float]] = {}
     for qid, c in qtf.items():
-        t = {tid_of[w]: float(tf) for w, tf in c.items() if w in tid_of}
+        if quantized:
+            # x50-clip-255 integer query weights (inference_q_SPLADE.py:13,60)
+            t = {
+                tid_of[w]: float(min(int(tf) * 50, 255))
+                for w, tf in c.items()
+                if w in tid_of
+            }
+        else:
+            t = {tid_of[w]: float(tf) for w, tf in c.items() if w in tid_of}
+        t = {tid: w for tid, w in t.items() if w > 0}
         if t:
             q_terms[qid] = t
     if not q_terms:
-        return spark.createDataFrame(
-            [], "qid long, doc_id long, score double, rank int"
-        )
+        return spark.createDataFrame([], out_schema)
     hit_terms = sorted({t for d in q_terms.values() for t in d})
 
     bmp_tbl = pads.dataset(bmp_dir, partitioning="hive").to_table(
@@ -249,27 +292,34 @@ def search_bmp(
             round_terms = sorted(
                 {t for qid in need for t in q_terms[qid]}
             )
+            payload = "quant_bytes" if quantized else "impact_bytes"
             tbl = post_ds.to_table(
-                columns=[
-                    "term_id",
-                    "first_doc_id",
-                    "n",
-                    "doc_gap_bytes",
-                    "impact_bytes",
-                ],
+                columns=["term_id", "first_doc_id", "n", "doc_gap_bytes", payload],
                 filter=pads.field("term_id").isin(round_terms)
                 & (pads.field("first_doc_id") <= hi)
                 & (pads.field("last_doc_id") >= lo),
             )
             if tbl.num_rows:
                 ns = tbl.column("n").to_numpy().astype(np.int64)
-                doc_ids, impacts = decode_blocks_vectorized(
-                    tbl.column("first_doc_id").to_numpy().astype(np.int64),
-                    ns,
-                    tbl.column("doc_gap_bytes").to_pylist(),
-                    tbl.column("impact_bytes").to_pylist(),
-                    gap_codec,
-                )
+                if quantized:
+                    doc_ids = decode_doc_ids_vectorized(
+                        tbl.column("first_doc_id").to_numpy().astype(np.int64),
+                        ns,
+                        tbl.column("doc_gap_bytes").to_pylist(),
+                        gap_codec,
+                    )
+                    impacts = np.frombuffer(
+                        b"".join(tbl.column("quant_bytes").to_pylist()),
+                        dtype=np.uint8,
+                    ).astype(np.float64)
+                else:
+                    doc_ids, impacts = decode_blocks_vectorized(
+                        tbl.column("first_doc_id").to_numpy().astype(np.int64),
+                        ns,
+                        tbl.column("doc_gap_bytes").to_pylist(),
+                        tbl.column("impact_bytes").to_pylist(),
+                        gap_codec,
+                    )
                 tid_rep = np.repeat(
                     tbl.column("term_id").to_numpy().astype(np.int64), ns
                 )
@@ -293,9 +343,13 @@ def search_bmp(
                     d = doc_ids[sel]
                     contrib = impacts[sel] * qw[tid_rep[sel]]
                     uniq, inv = np.unique(d, return_inverse=True)
+                    sums = np.bincount(inv, weights=contrib)
+                    # integer sums are exact in float64 far beyond the
+                    # 255*255*n_terms range; float scores share the
+                    # oracle's 6dp rounding
                     st["d"] = np.concatenate([st["d"], uniq])
                     st["s"] = np.concatenate(
-                        [st["s"], np.round(np.bincount(inv, weights=contrib), 6)]
+                        [st["s"], sums if quantized else np.round(sums, 6)]
                     )
             st["done"] = min(st["m"], len(st["order"]))
         for qid in sorted(active):
@@ -304,13 +358,13 @@ def search_bmp(
                 active.discard(qid)
                 continue
             next_ub = st["ub"][st["order"][st["done"]]]
-            # STRICT certificate with rounding slop: scores are rounded
-            # to 6dp (shared with the oracle), so require the k-th
-            # exact score to clear the best unevaluated UB by more than
-            # one rounding ulp; '>' not '>=' because ties break by
+            # STRICT certificate: '>' not '>=' because ties break by
             # doc_id and an unevaluated equal-score doc could still
-            # enter the top-k
-            if len(st["s"]) >= k and np.partition(st["s"], -k)[-k] > next_ub + 1e-6:
+            # enter the top-k. Float scores additionally clear one 6dp
+            # rounding ulp (they are rounded, shared with the oracle);
+            # integer (quantized) arithmetic is exact — no slop.
+            slop = 0.0 if quantized else 1e-6
+            if len(st["s"]) >= k and np.partition(st["s"], -k)[-k] > next_ub + slop:
                 active.discard(qid)
                 continue
             st["misses"] += 1
@@ -319,9 +373,14 @@ def search_bmp(
     out_rows = []
     for qid, st in state.items():
         eval_blocks += st["done"]
-        keep = st["s"] > threshold
+        keep = st["s"] > (0 if quantized else threshold)
+        vals = (
+            st["s"][keep].astype(np.int64).tolist()
+            if quantized
+            else st["s"][keep].tolist()
+        )
         ranked = sorted(
-            zip(st["d"][keep].tolist(), st["s"][keep].tolist()),
+            zip(st["d"][keep].tolist(), vals),
             key=lambda p: (-p[1], p[0]),
         )[:k]
         out_rows += [(qid, doc, s, r + 1) for r, (doc, s) in enumerate(ranked)]
@@ -329,6 +388,4 @@ def search_bmp(
     if debug_counts is not None:
         debug_counts["doc_blocks_total"] = total_blocks
         debug_counts["doc_blocks_evaluated"] = eval_blocks
-    return spark.createDataFrame(
-        out_rows, "qid long, doc_id long, score double, rank int"
-    )
+    return spark.createDataFrame(out_rows, out_schema)

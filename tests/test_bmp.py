@@ -87,3 +87,32 @@ def test_bmp_guard_falls_back_to_fused(spark, built):
     a = got[cols].sort_values(["qid", "rank"]).reset_index(drop=True)
     b = want[cols].sort_values(["qid", "rank"]).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_bmp_quantized_matches_search_quantized(spark, built, tmp_path):
+    """Quantized BMP (integer arithmetic, exact certificate) must match
+    search_quantized row-for-row — including on a store_impacts=False
+    index, where it is the only BMP layout available."""
+    from splade_spark.operators.index_query import search_quantized
+
+    docs = load_documents(spark, SF_SMOKE)
+    queries = derive_queries(docs)
+    qrows = [(int(r.qid), r.text) for r in queries.orderBy("qid").collect()]
+
+    qidx = str(tmp_path / "bmpq_idx")
+    build_index(
+        docs, qidx, n_segments=2, n_buckets=8, block_size=16,
+        salt_unit=64, store_impacts=False,
+    )
+    for idx in (built, qidx):
+        build_bmp_index(spark, idx, doc_block_size=64, quantized=True)
+        want = (
+            search_quantized(spark, idx, queries, k=K)
+            .toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+        )
+        got = (
+            search_bmp(spark, idx, qrows, k=K, quantized=True)
+            .toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+        )
+        assert list(got.columns) == list(want.columns)
+        assert got.equals(want), idx
