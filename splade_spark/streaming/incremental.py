@@ -75,6 +75,66 @@ def stream_build_segments(
     return committed["n"]
 
 
+def stream_append(
+    spark: SparkSession,
+    input_dir: str,
+    index_dir: str,
+    schema: str = "doc_id long, text string",
+    max_files_per_trigger: int | None = None,
+) -> int:
+    """One continuous-ingestion step: drain newly arrived files into
+    stream-epoch segments, then bring the FINALIZED index up to date —
+    the streaming twin of ``operators.index_build.append_index``.
+
+    Global BM25 stats (N, avgdl, df) change with every ingested doc,
+    so the finalize merge re-runs over ALL segments (committed layout
+    params are reused from stats.json); the refreshed index equals a
+    full rebuild over everything ingested so far. Returns the number
+    of NEW segments drained (0 = nothing arrived and the index was
+    already finalized — a no-op).
+
+    Resumable at every point: the stream checkpoint makes file
+    processing exactly-once, segment commits skip on replay, the
+    retract records once per drain, and a kill between retract and
+    finalize completion is repaired on the next call (no new files is
+    NOT an early exit while finalize is incomplete). Doc-id
+    disjointness across input files is the ingest contract.
+    """
+    import json
+
+    from splade_spark.operators.index_build import finalize_index
+
+    n_new = stream_build_segments(
+        spark, input_dir, index_dir, schema, max_files_per_trigger
+    )
+    man = Manifest.load(index_dir)
+    finalized = "index" in man.committed("finalize")
+    if n_new == 0 and finalized:
+        return 0
+    stats_path = os.path.join(index_dir, "stats.json")
+    kwargs: dict = {}
+    if os.path.exists(stats_path):
+        with open(stats_path) as f:
+            prior = json.load(f)
+        from splade_spark.functions.codec import BLOCK_SIZE
+        from splade_spark.operators.index_build import (
+            DEFAULT_BUCKETS,
+            DEFAULT_SALT_UNIT,
+        )
+
+        kwargs = {
+            "n_buckets": int(prior.get("n_buckets", DEFAULT_BUCKETS)),
+            "block_size": int(prior.get("block_size", BLOCK_SIZE)),
+            "salt_unit": int(prior.get("salt_unit", DEFAULT_SALT_UNIT)),
+            "gap_codec": prior.get("gap_codec", "vbyte"),
+            "store_impacts": bool(prior.get("store_impacts", True)),
+        }
+    if finalized and n_new > 0:
+        man.retract("finalize", reason=f"stream-append:{n_new}")
+    finalize_index(spark, index_dir, **kwargs)
+    return n_new
+
+
 def ingest_stats_stream(pages_stream: DataFrame) -> DataFrame:
     """Windowed ingest monitoring: docs + avg length per 1-minute
     warc_ts window, late data bounded by a 5-minute watermark."""

@@ -75,3 +75,49 @@ def test_ingest_stats_stream(spark, tmp_path):
     out = spark.sql("SELECT * FROM ingest_stats").toPandas()
     assert out.n_docs.sum() == 500
     assert (out.avg_chars > 0).all()
+
+
+def test_stream_append_extends_finalized_index(spark, tmp_path):
+    """Continuous ingestion: a finalized batch index extended by a
+    stream_append drain must equal a full rebuild over the union, and
+    a drain with no new files is a no-op that leaves it intact."""
+    from splade_spark.operators.index_build import build_index
+    from splade_spark.operators.index_query import search
+    from splade_spark.sources.pages import load_documents
+    from splade_spark.streaming.incremental import stream_append
+    from splade_spark.synth import derive_queries
+
+    from tests.conftest import SF_SMOKE
+
+    docs = load_documents(spark, SF_SMOKE)
+    part_a = docs.filter("doc_id % 3 != 0")
+    part_b = docs.filter("doc_id % 3 = 0")
+
+    idx = str(tmp_path / "stream_append_idx")
+    build_index(part_a, idx, n_segments=2, n_buckets=8)
+
+    inbox = str(tmp_path / "inbox")
+    part_b.repartition(2).write.mode("overwrite").parquet(inbox)
+    n = stream_append(spark, inbox, idx)
+    assert n > 0
+
+    full_idx = str(tmp_path / "stream_full_idx")
+    build_index(docs, full_idx, n_segments=2, n_buckets=8)
+    queries = derive_queries(docs)
+    want = (
+        search(spark, full_idx, queries, k=10)
+        .toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    )
+    got = (
+        search(spark, idx, queries, k=10)
+        .toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    )
+    assert got.equals(want)
+
+    # nothing new -> no-op, index still answers identically
+    assert stream_append(spark, inbox, idx) == 0
+    again = (
+        search(spark, idx, queries, k=10)
+        .toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    )
+    assert again.equals(want)
