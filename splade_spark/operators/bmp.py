@@ -74,11 +74,30 @@ def build_bmp_index(
     )
     from splade_spark.plans.snapshots import Manifest, dir_bytes
 
+    import json
+
     bmp_dir = os.path.join(index_dir, "bmp_q" if quantized else "bmp")
+    meta_path = os.path.join(bmp_dir, "_bmp.json")
     man = Manifest.load(index_dir)
-    key = f"{'bmpq' if quantized else 'bmp'}:{doc_block_size}"
-    if key in man.committed("bmp"):
-        return bmp_dir
+    prefix = "bmpq:" if quantized else "bmp:"
+    key = f"{prefix}{doc_block_size}"
+    prior = {k for k in man.committed("bmp") if k.startswith(prefix)}
+    if key in prior:
+        # trust the commit only if the directory's metadata agrees: a
+        # crash before the (last, atomicity-carrying) _bmp.json write,
+        # or a later build with a different block size into the same
+        # directory, leaves the dir holding something else
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                if int(json.load(f)["doc_block_size"]) == doc_block_size:
+                    return bmp_dir
+        man.retract("bmp", reason=f"stale:{key}", keys={key})
+    elif prior:
+        # the directory is about to be overwritten with THIS block
+        # size's layout — retract the other sizes' keys so a later
+        # call with one of them rebuilds instead of silently returning
+        # a directory holding this size
+        man.retract("bmp", reason=f"superseded-by:{key}", keys=prior)
     import time as _time
 
     t0 = _time.time()
@@ -114,17 +133,18 @@ def build_bmp_index(
         .partitionBy("bucket")
         .parquet(bmp_dir)
     )
+    # block size for the query side, written BEFORE the manifest
+    # commit: the commit is the last, atomicity-carrying step (same
+    # discipline as finalize), so a committed key always has readable
+    # metadata — a crash in between just rebuilds next call
+    with open(meta_path, "w") as f:
+        json.dump({"doc_block_size": doc_block_size}, f)
     man.commit(
         "bmp",
         key,
         bytes_=dir_bytes(bmp_dir),
         wall_ms=int((_time.time() - t0) * 1000),
     )
-    # record the block size for the query side
-    import json
-
-    with open(os.path.join(bmp_dir, "_bmp.json"), "w") as f:
-        json.dump({"doc_block_size": doc_block_size}, f)
     return bmp_dir
 
 
@@ -178,9 +198,6 @@ def search_bmp(
         require_impacts(stats)
     gap_codec = stats.get("gap_codec", "vbyte")
     n_docs = int(stats["n_docs"])
-    bmp_dir = os.path.join(index_dir, "bmp_q" if quantized else "bmp")
-    with open(os.path.join(bmp_dir, "_bmp.json")) as f:
-        doc_block_size = int(json.load(f)["doc_block_size"])
 
     def exhaustive_fallback():
         if quantized:
@@ -189,6 +206,16 @@ def search_bmp(
             qdf = spark.createDataFrame(query_rows, "qid long, text string")
             return search_quantized(spark, index_dir, qdf, k=k)
         return search_fused(spark, index_dir, query_rows, k, threshold)
+
+    # an index whose BMP table was never built (or was invalidated by
+    # an append's postings rewrite) answers exhaustively, same routing
+    # as the over-limit guard — not a FileNotFoundError
+    bmp_dir = os.path.join(index_dir, "bmp_q" if quantized else "bmp")
+    meta_path = os.path.join(bmp_dir, "_bmp.json")
+    if not os.path.exists(meta_path):
+        return exhaustive_fallback()
+    with open(meta_path) as f:
+        doc_block_size = int(json.load(f)["doc_block_size"])
 
     qtf: dict[int, Counter] = {
         qid: Counter(py_tokenize(text)) for qid, text in query_rows

@@ -405,6 +405,28 @@ def finalize_index(
     return man
 
 
+def invalidate_bmp(index_dir: str, man: Manifest, reason: str) -> None:
+    """Drop the derived block-max tables (``bmp/``, ``bmp_q/``) and
+    retract their manifest stage.
+
+    The BMP tables are pure functions of the postings + global BM25
+    stats, so ANY postings rewrite (append / stream re-finalize)
+    invalidates them: appended docs' blocks would have no UB rows
+    (never returnable) and the old UBs no longer upper-bound the
+    re-weighted impacts, so the 'lossless certificate' could terminate
+    early and silently drop true top-k docs. Called at every finalize
+    retraction — the next ``build_bmp_index`` rebuilds from the fresh
+    postings."""
+    dropped = False
+    for d in ("bmp", "bmp_q"):
+        p = os.path.join(index_dir, d)
+        if os.path.isdir(p):
+            shutil.rmtree(p, ignore_errors=True)
+            dropped = True
+    if dropped or man.committed("bmp"):
+        man.retract("bmp", reason=reason)
+
+
 def append_index(
     documents: DataFrame,
     index_dir: str,
@@ -487,6 +509,9 @@ def append_index(
     if not any(
         s["stage"] == "retract" and s["key"] == retract_key for s in man.snapshots
     ):
+        # bmp first: a crash between the two re-runs this whole block
+        # (the guard key above is the finalize retract, recorded last)
+        invalidate_bmp(index_dir, man, reason=f"append:{epoch}")
         man.retract("finalize", reason=f"append:{epoch}")
     return finalize_index(
         spark,

@@ -83,12 +83,20 @@ class Manifest:
     def lineage_rows(self) -> list[dict]:
         return list(self.snapshots)
 
-    def retract(self, stage: str, reason: str = "") -> int:
+    def retract(
+        self, stage: str, reason: str = "", keys: set[str] | None = None
+    ) -> int:
         """Remove a stage's commits (so its steps re-run on the next
         finalize) while RECORDING the retraction as its own lineage
         snapshot — the Iceberg analog is replacing the table's current
-        snapshot pointer with a new one; history stays queryable."""
-        keep = [s for s in self.snapshots if s["stage"] != stage]
+        snapshot pointer with a new one; history stays queryable.
+        ``keys`` narrows the retraction to specific commit keys (e.g.
+        one bmp layout variant) instead of the whole stage."""
+        keep = [
+            s
+            for s in self.snapshots
+            if s["stage"] != stage or (keys is not None and s["key"] not in keys)
+        ]
         removed = len(self.snapshots) - len(keep)
         self.snapshots = keep
         return self.commit("retract", f"{stage}:{reason}", rows=removed)

@@ -102,14 +102,14 @@ def stream_append(
     """
     import json
 
-    from splade_spark.operators.index_build import finalize_index
+    from splade_spark.operators.index_build import finalize_index, invalidate_bmp
 
     n_new = stream_build_segments(
         spark, input_dir, index_dir, schema, max_files_per_trigger
     )
     man = Manifest.load(index_dir)
-    finalized = "index" in man.committed("finalize")
-    if n_new == 0 and finalized:
+    finalize_done = man.committed("finalize")
+    if n_new == 0 and "index" in finalize_done:
         return 0
     stats_path = os.path.join(index_dir, "stats.json")
     kwargs: dict = {}
@@ -129,7 +129,15 @@ def stream_append(
             "gap_codec": prior.get("gap_codec", "vbyte"),
             "store_impacts": bool(prior.get("store_impacts", True)),
         }
-    if finalized and n_new > 0:
+    if n_new > 0 and finalize_done:
+        # ANY committed finalize sub-step predates the segments just
+        # drained (stream_build_segments runs first in this function),
+        # so a PARTIAL finalize left by a mid-drain crash must retract
+        # too: resuming it would skip stats/term_dict computed without
+        # the new docs and silently drop them from the index. The
+        # derived bmp tables go first — a crash between the two re-runs
+        # this block (retract is recorded last); next drain re-retracts.
+        invalidate_bmp(index_dir, man, reason=f"stream-append:{n_new}")
         man.retract("finalize", reason=f"stream-append:{n_new}")
     finalize_index(spark, index_dir, **kwargs)
     return n_new

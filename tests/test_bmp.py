@@ -116,3 +116,128 @@ def test_bmp_quantized_matches_search_quantized(spark, built, tmp_path):
         )
         assert list(got.columns) == list(want.columns)
         assert got.equals(want), idx
+
+
+def test_bmp_missing_table_falls_back(spark, tmp_path):
+    """An index whose BMP table was never built must answer through
+    the exhaustive fallback (same routing as the over-limit guard),
+    not raise FileNotFoundError."""
+    docs = load_documents(spark, SF_SMOKE)
+    idx = str(tmp_path / "no_bmp_idx")
+    build_index(docs, idx, n_segments=1, n_buckets=8, block_size=16, salt_unit=64)
+    qrows = [(int(r.qid), r.text) for r in derive_queries(docs).orderBy("qid").collect()][:3]
+    counts: dict = {}
+    got = search_bmp(spark, idx, qrows, k=K, debug_counts=counts).toPandas()
+    want = (
+        search(spark, idx, spark.createDataFrame(qrows, "qid long, text string"), k=K)
+        .toPandas()
+    )
+    cols = ["qid", "doc_id", "score", "rank"]
+    a = got[cols].sort_values(["qid", "rank"]).reset_index(drop=True)
+    b = want[cols].sort_values(["qid", "rank"]).reset_index(drop=True)
+    assert a.equals(b)
+    assert not counts  # fallback path: the BMP loop never ran
+
+
+def test_bmp_block_size_change_rebuilds(spark, tmp_path):
+    """Building with a second doc_block_size overwrites the directory;
+    a later call with the FIRST size must rebuild (its key was
+    retracted), not silently return the other size's layout."""
+    import json as _json
+    import os as _os
+
+    docs = load_documents(spark, SF_SMOKE)
+    idx = str(tmp_path / "resize_idx")
+    build_index(docs, idx, n_segments=1, n_buckets=8, block_size=16, salt_unit=64)
+    meta = _os.path.join(idx, "bmp", "_bmp.json")
+
+    build_bmp_index(spark, idx, doc_block_size=64)
+    build_bmp_index(spark, idx, doc_block_size=32)
+    with open(meta) as f:
+        assert int(_json.load(f)["doc_block_size"]) == 32
+    build_bmp_index(spark, idx, doc_block_size=64)  # must NOT no-op
+    with open(meta) as f:
+        assert int(_json.load(f)["doc_block_size"]) == 64
+    qrows = [(int(r.qid), r.text) for r in derive_queries(docs).orderBy("qid").collect()][:3]
+    counts: dict = {}
+    got = search_bmp(spark, idx, qrows, k=K, debug_counts=counts).toPandas()
+    want = (
+        search(spark, idx, spark.createDataFrame(qrows, "qid long, text string"), k=K)
+        .toPandas()
+    )
+    cols = ["qid", "doc_id", "score", "rank"]
+    assert got[cols].sort_values(["qid", "rank"]).reset_index(drop=True).equals(
+        want[cols].sort_values(["qid", "rank"]).reset_index(drop=True)
+    )
+    assert counts  # BMP path actually ran on the rebuilt table
+
+
+def test_bmp_commit_without_metadata_rebuilds(spark, tmp_path):
+    """_bmp.json is written BEFORE the manifest commit, so a committed
+    key always has metadata; if the directory state nonetheless
+    diverges (the pre-fix crash window), build_bmp_index must detect
+    the mismatch and rebuild instead of returning a broken table."""
+    import os as _os
+
+    docs = load_documents(spark, SF_SMOKE)
+    idx = str(tmp_path / "orphan_idx")
+    build_index(docs, idx, n_segments=1, n_buckets=8, block_size=16, salt_unit=64)
+    build_bmp_index(spark, idx, doc_block_size=64)
+    meta = _os.path.join(idx, "bmp", "_bmp.json")
+    _os.remove(meta)  # simulate the old crash-between-commit-and-json state
+    build_bmp_index(spark, idx, doc_block_size=64)
+    assert _os.path.exists(meta)
+    qrows = [(1, "the data")]
+    got = search_bmp(spark, idx, qrows, k=K).toPandas()
+    want = (
+        search(spark, idx, spark.createDataFrame(qrows, "qid long, text string"), k=K)
+        .toPandas()
+    )
+    cols = ["qid", "doc_id", "score", "rank"]
+    assert got[cols].reset_index(drop=True).equals(want[cols].reset_index(drop=True))
+
+
+def test_append_invalidates_bmp(spark, tmp_path):
+    """append_index rewrites postings + global stats, so the derived
+    BMP tables are stale: appended docs' blocks have no UB rows and
+    old UBs no longer bound re-weighted impacts. The append must drop
+    bmp/bmp_q and retract their stage; search_bmp then falls back
+    (still correct over the union) until build_bmp_index re-derives."""
+    import os as _os
+
+    from splade_spark.operators.index_build import append_index
+
+    docs = load_documents(spark, SF_SMOKE)
+    part_a = docs.filter("doc_id % 3 != 0")
+    part_b = docs.filter("doc_id % 3 = 0")
+    idx = str(tmp_path / "append_bmp_idx")
+    build_index(part_a, idx, n_segments=2, n_buckets=8, block_size=16, salt_unit=64)
+    build_bmp_index(spark, idx, doc_block_size=64)
+    build_bmp_index(spark, idx, doc_block_size=64, quantized=True)
+
+    append_index(part_b, idx, n_segments=2)
+    assert not _os.path.isdir(_os.path.join(idx, "bmp"))
+    assert not _os.path.isdir(_os.path.join(idx, "bmp_q"))
+
+    queries = derive_queries(docs)
+    qrows = [(int(r.qid), r.text) for r in queries.orderBy("qid").collect()]
+    want = (
+        search(spark, idx, queries, k=K)
+        .toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    )
+    counts: dict = {}
+    stale_safe = (
+        search_bmp(spark, idx, qrows, k=K, debug_counts=counts)
+        .toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    )
+    assert stale_safe.equals(want)
+    assert not counts  # answered via fallback, not a stale BMP table
+
+    build_bmp_index(spark, idx, doc_block_size=64)
+    counts = {}
+    rebuilt = (
+        search_bmp(spark, idx, qrows, k=K, debug_counts=counts)
+        .toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    )
+    assert rebuilt.equals(want)
+    assert counts  # fresh BMP table actually served the query

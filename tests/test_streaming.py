@@ -121,3 +121,59 @@ def test_stream_append_extends_finalized_index(spark, tmp_path):
         .toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
     )
     assert again.equals(want)
+
+
+def test_stream_append_repairs_crashed_drain_with_new_files(spark, tmp_path, monkeypatch):
+    """The mid-drain crash hole: drain 1 retracts finalize and dies
+    after committing 'stats' (computed WITHOUT any future segments).
+    If new files arrive before the next call, the repair must retract
+    the partial finalize — resuming it would keep stats that exclude
+    the newly drained docs and silently drop them from the index."""
+    import pytest
+
+    from splade_spark.plans.snapshots import Manifest
+    from splade_spark.streaming.incremental import stream_append
+
+    docs = load_documents(spark, SF_SMOKE).select("doc_id", "text")
+    part_a = docs.filter("doc_id % 3 = 0")
+    part_b = docs.filter("doc_id % 3 = 1")
+    part_c = docs.filter("doc_id % 3 = 2")
+
+    idx = str(tmp_path / "crash_drain_idx")
+    build_index(part_a, idx, n_segments=2, n_buckets=8)
+    inbox = str(tmp_path / "crash_inbox")
+    part_b.coalesce(1).write.mode("overwrite").parquet(inbox)
+
+    real_commit = Manifest.commit
+
+    def crashing_commit(self, stage, key, **kw):
+        if stage == "finalize" and key == "term_dict":
+            raise RuntimeError("simulated mid-drain kill")
+        return real_commit(self, stage, key, **kw)
+
+    monkeypatch.setattr(Manifest, "commit", crashing_commit)
+    with pytest.raises(RuntimeError, match="mid-drain"):
+        stream_append(spark, inbox, idx)
+    monkeypatch.setattr(Manifest, "commit", real_commit)
+    # crash state: 'stats' committed over a∪b, 'index' absent
+    man = Manifest.load(idx)
+    assert "stats" in man.committed("finalize")
+    assert "index" not in man.committed("finalize")
+
+    # new files arrive BEFORE the repair call
+    part_c.coalesce(1).write.mode("append").parquet(inbox)
+    n = stream_append(spark, inbox, idx)
+    assert n > 0
+
+    full_idx = str(tmp_path / "crash_full_idx")
+    build_index(docs, full_idx, n_segments=2, n_buckets=8)
+    queries = derive_queries(docs)
+    want = (
+        search(spark, full_idx, queries, k=10)
+        .toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    )
+    got = (
+        search(spark, idx, queries, k=10)
+        .toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    )
+    assert got.equals(want)
