@@ -90,12 +90,19 @@ def q_index_search_k1000(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_index_search_maxscore_k1000(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Block-Max/MaxScore-pruned search at k=1000; pruning is lossless
-    (operators/maxscore.py proof), so it shares the BM25 SQL twin."""
+    (operators/maxscore.py proof), so it shares the BM25 SQL twin.
+    strategy="relation" pins the all-DataFrame plan so this row
+    exercises it (auto would delegate a batch this small to the fused
+    planner, which index_search_maxscore_fused_k1000 already covers)."""
     from splade_spark.operators.maxscore import search_maxscore
 
     idx = _materialized_index(spark, sf_dir)
     return search_maxscore(
-        spark, idx, derive_queries(load_documents(spark, sf_dir)), k=1000
+        spark,
+        idx,
+        derive_queries(load_documents(spark, sf_dir)),
+        k=1000,
+        strategy="relation",
     )
 
 

@@ -48,6 +48,30 @@ from splade_spark import SCORE_THRESHOLD, TOPK_DEFAULT
 
 DEFAULT_DOC_BLOCK = 4096
 
+# cap on the number of doc-range predicates pushed into one round's
+# postings fetch; beyond this, the smallest inter-run gaps are merged
+_MAX_FETCH_RANGES = 64
+
+
+def _block_runs(blocks, max_ranges: int = _MAX_FETCH_RANGES):
+    """Sorted unique block ids -> [(lo_block, hi_block), ...] maximal
+    contiguous runs; if there are more than ``max_ranges`` runs, keep
+    only the max_ranges-1 WIDEST gaps as separators (merging a gap
+    re-admits exactly that gap's postings — smallest gaps cost least)."""
+    import numpy as np
+
+    if len(blocks) == 0:
+        return []
+    gaps = np.diff(blocks)
+    break_idx = np.nonzero(gaps > 1)[0]  # run ends at i, next starts i+1
+    if len(break_idx) + 1 > max_ranges:
+        widths = gaps[break_idx]
+        keep = np.sort(break_idx[np.argsort(-widths)[: max_ranges - 1]])
+        break_idx = keep
+    starts = np.concatenate([[0], break_idx + 1])
+    ends = np.append(break_idx, len(blocks) - 1)
+    return [(int(blocks[s]), int(blocks[e])) for s, e in zip(starts, ends)]
+
 
 def build_bmp_index(
     spark: SparkSession,
@@ -304,6 +328,9 @@ def search_bmp(
     # evaluation — the geometric ladder only pays when the UB ordering
     # is actually selective.
     eval_blocks = 0
+    fetched_rows = 0
+    fetched_postings = 0
+    fetch_ranges = 0
     active = set(state)
     while active:
         need: dict[int, np.ndarray] = {}
@@ -314,18 +341,33 @@ def search_bmp(
                 need[qid] = st["blk"][take]
         if need:
             all_blocks = np.unique(np.concatenate(list(need.values())))
-            lo = int(all_blocks.min()) * doc_block_size
-            hi = int(all_blocks.max()) * doc_block_size + doc_block_size - 1
+            # Per-contiguous-run doc-range predicates, NOT one global
+            # [min, max]: when a round's blocks are scattered across the
+            # id space a single range degenerates to a near-full read of
+            # every hit term's posting list. A union of run ranges keeps
+            # bytes read proportional to blocks EVALUATED. The run count
+            # is capped by merging the smallest inter-run gaps first
+            # (each merge only re-admits the postings of the swallowed
+            # gap), so the pushed filter expression stays bounded.
+            runs = _block_runs(all_blocks, max_ranges=_MAX_FETCH_RANGES)
             round_terms = sorted(
                 {t for qid in need for t in q_terms[qid]}
             )
             payload = "quant_bytes" if quantized else "impact_bytes"
+            range_pred = None
+            for blo, bhi in runs:
+                p = (
+                    pads.field("first_doc_id") <= int(bhi) * doc_block_size
+                    + doc_block_size - 1
+                ) & (pads.field("last_doc_id") >= int(blo) * doc_block_size)
+                range_pred = p if range_pred is None else (range_pred | p)
             tbl = post_ds.to_table(
                 columns=["term_id", "first_doc_id", "n", "doc_gap_bytes", payload],
-                filter=pads.field("term_id").isin(round_terms)
-                & (pads.field("first_doc_id") <= hi)
-                & (pads.field("last_doc_id") >= lo),
+                filter=pads.field("term_id").isin(round_terms) & range_pred,
             )
+            fetched_rows += tbl.num_rows
+            fetched_postings += int(tbl.column("n").to_numpy().sum())
+            fetch_ranges += len(runs)
             if tbl.num_rows:
                 ns = tbl.column("n").to_numpy().astype(np.int64)
                 if quantized:
@@ -415,4 +457,7 @@ def search_bmp(
     if debug_counts is not None:
         debug_counts["doc_blocks_total"] = total_blocks
         debug_counts["doc_blocks_evaluated"] = eval_blocks
+        debug_counts["postings_block_rows_fetched"] = fetched_rows
+        debug_counts["postings_fetched"] = fetched_postings
+        debug_counts["fetch_ranges"] = fetch_ranges
     return spark.createDataFrame(out_rows, out_schema)

@@ -342,23 +342,40 @@ def finalize_index(
         # spans the whole term range and pruned scans silently read
         # the full bucket.
         #
-        # The shuffle keys on (bucket, term_id) across cores*2
-        # partitions, NOT on bucket alone: n_buckets partitions would
-        # cap the sort at n_buckets-way parallelism (measured -24%
-        # build throughput at local[8]). Each bucket dir then holds
-        # several files, each sorted — per-FILE row-group stats stay
-        # tight, which is what skipping reads. bucket leads the sort
-        # so the dynamic-partition writer streams one bucket at a time
-        # without its own internal resort.
+        # The shuffle is RANGE partitioning on the sort key across
+        # cores*2 partitions, not hash on (bucket, term_id): hash
+        # files hold a scattered 1/sort_parts term SUBSET, so their
+        # row-group min/max span nearly the whole id range and a
+        # term-pruned scan silently reads every file in the bucket —
+        # measured +55% scan bytes when the build ran at 4x the cores
+        # (more, smaller hash files). Range files cover contiguous
+        # DISJOINT (term_id, block_id) runs: a term lookup touches
+        # exactly the files whose range intersects, independent of how
+        # many cores built the index, and a hot term's blocks split
+        # across partitions at block_id boundaries (no encoder-group
+        # skew). Not bucket-only partitioning either — n_buckets
+        # partitions would cap the sort at n_buckets-way parallelism
+        # (measured -24% build throughput at local[8]).
+        #
+        # The persist makes the range sampling pass read the encoded
+        # blocks from cache instead of re-running the encoder (the
+        # expensive stage); it materializes ~index-size bytes once,
+        # the same order as the final write itself.
+        from pyspark.storagelevel import StorageLevel
+
         sort_parts = spark.sparkContext.defaultParallelism * 2
-        (
-            blocks.repartition(sort_parts, "bucket", "term_id")
-            .sortWithinPartitions("bucket", "term_id", "block_id")
-            .write.mode("overwrite")
-            .option("parquet.block.size", str(POSTINGS_ROWGROUP_BYTES))
-            .partitionBy("bucket")
-            .parquet(post_dir)
-        )
+        blocks = blocks.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            (
+                blocks.repartitionByRange(sort_parts, "bucket", "term_id", "block_id")
+                .sortWithinPartitions("bucket", "term_id", "block_id")
+                .write.mode("overwrite")
+                .option("parquet.block.size", str(POSTINGS_ROWGROUP_BYTES))
+                .partitionBy("bucket")
+                .parquet(post_dir)
+            )
+        finally:
+            blocks.unpersist()
         man.commit(
             "finalize",
             "postings",

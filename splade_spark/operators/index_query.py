@@ -301,12 +301,222 @@ def make_score_kernel(q_arrs: dict, gap_codec: str = "vbyte"):
     return kernel
 
 
+# term-major emits O(sum over queries of candidate docs) partial rows
+# into the score shuffle — batch size multiplies shuffle volume. When
+# that estimate exceeds DOC_MAJOR_FACTOR x the pruned posting count,
+# doc-major wins: shuffle the decoded postings ONCE (independent of
+# batch size), score each doc-range shard locally against every query.
+DOC_MAJOR_FACTOR = 8
+DOC_MAJOR_MIN_ROWS = 2_000_000
+
+
+def _docmajor_pack_kernel(shard_width: int, gap_codec: str):
+    """Pass 1: decode pruned posting blocks and pack each (doc_shard,
+    term) group into ONE binary row — int32 in-shard doc offsets +
+    float64 impacts. The doc-range exchange then moves thousands of
+    blob rows instead of ~|postings| narrow rows: shuffle BYTES stay
+    O(pruned postings) while the per-row JVM (de)serialization cost —
+    measured dominant at ~100M rows — collapses with the row count."""
+    import pyarrow as pa
+
+    def kernel(batches):
+        for b in batches:
+            if not b.num_rows:
+                continue
+            tbl = pa.Table.from_batches([b])
+            ns = tbl.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+            doc_ids, impacts = decode_blocks_vectorized(
+                tbl.column("first_doc_id")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+                ns,
+                tbl.column("doc_gap_bytes").to_pylist(),
+                tbl.column("impact_bytes").to_pylist(),
+                gap_codec,
+            )
+            tid_rep = np.repeat(
+                tbl.column("term_id").to_numpy(zero_copy_only=False).astype(np.int64),
+                ns,
+            )
+            shard = doc_ids // shard_width
+            offs = (doc_ids - shard * shard_width).astype(np.int32)
+            # single combined sort key (shard-major, term-minor) —
+            # ~2x faster than a two-key lexsort on ~1M-row batches;
+            # sparse 64-bit doc-id spaces can overflow the packed key,
+            # so fall back to lexsort when shard ids are that large
+            if len(shard) and int(shard.max()) < (1 << 31):
+                order = np.argsort(
+                    (shard << np.int64(31)) | tid_rep, kind="stable"
+                )
+            else:
+                order = np.lexsort((tid_rep, shard))
+            sh_s, t_s = shard[order], tid_rep[order]
+            off_s, imp_s = offs[order], impacts[order]
+            chg = np.nonzero((np.diff(sh_s) != 0) | (np.diff(t_s) != 0))[0] + 1
+            starts = np.concatenate([[0], chg]).astype(np.int64)
+            ends = np.concatenate([chg, [len(sh_s)]]).astype(np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(sh_s[starts], type=pa.int64()),
+                    pa.array(t_s[starts].astype(np.int32), type=pa.int32()),
+                    pa.array(
+                        [off_s[s:e].tobytes() for s, e in zip(starts, ends)],
+                        type=pa.binary(),
+                    ),
+                    pa.array(
+                        [imp_s[s:e].tobytes() for s, e in zip(starts, ends)],
+                        type=pa.binary(),
+                    ),
+                ],
+                names=["shard", "term_id", "offs", "vals"],
+            )
+
+    return kernel
+
+
+def _docmajor_score_kernel(q_arrs: dict, k: int, threshold: float, shard_width: int):
+    """Pass 2: per-doc-shard scoring. Every query is broadcast
+    (closure) to every shard; a shard holds ALL hit-term postings for
+    its doc range, so scores are FINAL locally — the reference's dense
+    accumulator (task/evaluator.py:161-180), sharded. Each term is
+    bincounted ONCE into a width-sized accumulator row; a query's
+    scores are the weighted sum of its terms' rows. Emits only the
+    shard's per-query top-k candidates: no (qid, doc) pair ever
+    enters a shuffle, so batch size never multiplies shuffle volume."""
+    import pyarrow as pa
+
+    def kernel(batches):
+        bl = [b for b in batches if b.num_rows]
+        if not bl:
+            return
+        tbl = pa.Table.from_batches(bl)
+        sh = tbl.column("shard").to_numpy(zero_copy_only=False)
+        tid = tbl.column("term_id").to_numpy(zero_copy_only=False)
+        offs = tbl.column("offs").to_pylist()
+        vals = tbl.column("vals").to_pylist()
+        # the hash exchange can land several doc shards in one
+        # partition: process shard-by-shard so only one shard's
+        # accumulators are live at a time
+        order = np.argsort(sh, kind="stable")
+        uniq_sh, s_starts = np.unique(sh[order], return_index=True)
+        s_ends = np.append(s_starts[1:], len(order))
+        cand_d: dict[int, list] = {}
+        cand_s: dict[int, list] = {}
+        for shard_v, ss, se in zip(
+            uniq_sh.tolist(), s_starts.tolist(), s_ends.tolist()
+        ):
+            rows = order[ss:se]
+            acc_rows: dict[int, np.ndarray] = {}
+            for r in rows.tolist():
+                o = np.frombuffer(offs[r], dtype=np.int32)
+                v = np.frombuffer(vals[r], dtype=np.float64)
+                row = np.bincount(o, weights=v, minlength=shard_width)
+                t = int(tid[r])
+                prev = acc_rows.get(t)
+                acc_rows[t] = row if prev is None else prev + row
+            base = int(shard_v) * shard_width
+            for qid, (tids, ws) in q_arrs.items():
+                acc = None
+                for t, w in zip(tids.tolist(), ws.tolist()):
+                    row = acc_rows.get(int(t))
+                    if row is not None:
+                        acc = row * float(w) if acc is None else acc + row * float(w)
+                if acc is None:
+                    continue
+                nz = np.nonzero(acc)[0]
+                s_cand = np.round(acc[nz], 6)
+                keep = s_cand > threshold
+                d_cand = (nz[keep] + base).astype(np.int64)
+                s_cand = s_cand[keep]
+                if len(d_cand) > k:
+                    # cheap shard-level pre-cut: keep the k best (plus
+                    # ties at the cut) before the partition-level merge
+                    cut = np.partition(s_cand, len(s_cand) - k)[len(s_cand) - k]
+                    pre = s_cand >= cut
+                    d_cand, s_cand = d_cand[pre], s_cand[pre]
+                if len(d_cand):
+                    cand_d.setdefault(qid, []).append(d_cand)
+                    cand_s.setdefault(qid, []).append(s_cand)
+        # ONE top-k per query per PARTITION (not per shard): emitted
+        # rows are bounded by n_partitions x queries x k, independent
+        # of how many doc shards hash into this partition. Global
+        # (-score, doc_id) tie rule throughout — anything in the
+        # global top-k survives every level of this cut.
+        out_q, out_d, out_s = [], [], []
+        for qid, parts in cand_d.items():
+            d_cand = np.concatenate(parts)
+            s_cand = np.concatenate(cand_s[qid])
+            if len(d_cand) > k:
+                cut = np.partition(s_cand, len(s_cand) - k)[len(s_cand) - k]
+                pre = s_cand >= cut
+                d_pre, s_pre = d_cand[pre], s_cand[pre]
+                top = np.lexsort((d_pre, -s_pre))[:k]
+                d_cand, s_cand = d_pre[top], s_pre[top]
+            out_q.append(np.full(len(d_cand), qid, dtype=np.int64))
+            out_d.append(d_cand)
+            out_s.append(s_cand)
+        if out_q:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(out_q), type=pa.int64()),
+                    pa.array(np.concatenate(out_d), type=pa.int64()),
+                    pa.array(np.concatenate(out_s), type=pa.float64()),
+                ],
+                names=["qid", "doc_id", "score"],
+            )
+
+    return kernel
+
+
+def _search_fused_docmajor(
+    spark: SparkSession,
+    index_dir: str,
+    q_arrs: dict,
+    buckets: list[int],
+    hit_terms: list[int],
+    k: int,
+    threshold: float,
+    gap_codec: str,
+    n_docs: int,
+) -> DataFrame:
+    """Doc-major batch plan: pruned scan -> Arrow block decode ->
+    ONE exchange of the decoded postings hashed on contiguous doc
+    ranges -> shard-local dense-accumulator scoring of ALL queries ->
+    union of shard top-ks -> final window. Shuffle volume is
+    O(pruned postings), independent of how many queries are in the
+    batch — the doc-partitioned shard architecture every large search
+    deployment uses, expressed as a Spark exchange."""
+    postings = load_postings(spark, index_dir)
+    pruned = postings.filter(
+        F.col("bucket").isin(buckets) & F.col("term_id").isin(hit_terms)
+    )
+    n_parts = max(spark.sparkContext.defaultParallelism * 2, 8)
+    # ~2 doc shards per partition smooths the hash-placement Poisson
+    # imbalance (1 shard/partition leaves ~1/e of partitions empty)
+    # without multiplying per-shard accumulator + emission overhead
+    n_shards = n_parts * 2
+    shard_width = max(1, (n_docs + n_shards - 1) // n_shards)
+    packed = pruned.select(
+        "term_id", "first_doc_id", "n", "doc_gap_bytes", "impact_bytes"
+    ).mapInArrow(
+        _docmajor_pack_kernel(shard_width, gap_codec),
+        schema="shard long, term_id int, offs binary, vals binary",
+    )
+    sharded = packed.repartition(n_parts, "shard")
+    shard_top = sharded.mapInArrow(
+        _docmajor_score_kernel(q_arrs, k, threshold, shard_width),
+        schema="qid long, doc_id long, score double",
+    )
+    return topk_window(shard_top, k)
+
+
 def search_fused(
     spark: SparkSession,
     index_dir: str,
     query_rows: list[tuple[int, str]],
     k: int = TOPK_DEFAULT,
     threshold: float = SCORE_THRESHOLD,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Minimal-plan search for driver-resident queries (the reference's
     own query-loading shape, evaluate.py:80-86): the numba scoring
@@ -319,6 +529,13 @@ def search_fused(
     mapInPandas kernel (vbyte decode, q_tf multiply, per-doc partial
     bincount — output rows ~= candidate docs, not postings) -> one
     shuffle -> final agg -> top-k. Two stages total.
+
+    ``strategy``: "term" pins the plan above; "doc" pins the
+    doc-partitioned shard plan (``_search_fused_docmajor``); "auto"
+    (default) picks doc-major when the dictionary-estimated candidate
+    pairs exceed DOC_MAJOR_FACTOR x pruned postings — the high-match
+    batch regime where term-major's score shuffle scales with batch
+    size but doc-major's stays O(pruned postings).
     """
     from collections import Counter
 
@@ -337,9 +554,10 @@ def search_fused(
     all_terms = sorted({t for c in qtf.values() for t in c})
     dset = pads.dataset(os.path.join(index_dir, "term_dict"))
     tbl = dset.to_table(
-        columns=["term", "term_id"], filter=pads.field("term").isin(all_terms)
+        columns=["term", "term_id", "df"], filter=pads.field("term").isin(all_terms)
     )
     tid_of = dict(zip(tbl.column("term").to_pylist(), tbl.column("term_id").to_pylist()))
+    df_of = dict(zip(tbl.column("term_id").to_pylist(), tbl.column("df").to_pylist()))
 
     q_arrs: dict[int, tuple[np.ndarray, np.ndarray]] = {}
     for qid, c in qtf.items():
@@ -357,6 +575,24 @@ def search_fused(
     buckets = buckets_for_terms(
         [t for t in all_terms if t in tid_of], n_buckets
     )
+
+    # strategy pick from dictionary metadata only (no postings access):
+    # term-major's score shuffle carries ~candidate_pairs rows (grows
+    # with batch size); doc-major's carries pruned_rows once. High-
+    # match batches (candidate_pairs >> pruned_rows) go doc-major.
+    pruned_rows = sum(df_of.get(t, 0) for t in hit_terms)
+    candidate_pairs = sum(
+        df_of.get(int(t), 0) for tids, _ in q_arrs.values() for t in tids
+    )
+    if strategy == "doc" or (
+        strategy == "auto"
+        and candidate_pairs > DOC_MAJOR_FACTOR * max(pruned_rows, 1)
+        and candidate_pairs > DOC_MAJOR_MIN_ROWS
+    ):
+        return _search_fused_docmajor(
+            spark, index_dir, q_arrs, buckets, hit_terms, k, threshold,
+            gap_codec, int(stats["n_docs"]),
+        )
 
     postings = load_postings(spark, index_dir)
     pruned = postings.filter(

@@ -271,8 +271,14 @@ def search_maxscore_fused(
                 continue
             fd = tm["first_doc_id"].to_numpy()
             ld = tm["last_doc_id"].to_numpy()
-            covered = (cand[None, :] >= fd[:, None]) & (cand[None, :] <= ld[:, None])
-            for b in tm["block_id"].to_numpy()[covered.any(axis=1)]:
+            # block [fd_i, ld_i] holds a candidate iff some cand falls
+            # inside: searchsorted interval test, O(n_blocks log k) and
+            # memory-free — the earlier (n_blocks x k) boolean matrix
+            # was a ~50 MB transient per term at the guard ceiling
+            # (50k blocks x k=1000)
+            lo = np.searchsorted(cand, fd, side="left")
+            hi = np.searchsorted(cand, ld, side="right")
+            for b in tm["block_id"].to_numpy()[lo < hi]:
                 q_cover.add((tid, int(b)))
             if len(q_cover) > cover_budget:
                 break

@@ -65,6 +65,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # default 10k-row Arrow batches fragment 100M-row kernel inputs
+        # into thousands of pandas materializations; bigger batches cut
+        # that fixed cost ~13x at a few MB per in-flight batch
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "131072")
         .config("spark.sql.session.timeZone", "UTC")
         # heap scales with parallelism: more concurrent tasks need more
         # headroom or GC serializes the run (local-mode analog of

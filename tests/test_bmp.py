@@ -68,6 +68,67 @@ def test_bmp_skips_doc_blocks_on_skewed_corpus(spark, tmp_path):
     assert counts["doc_blocks_evaluated"] < counts["doc_blocks_total"] / 2, counts
 
 
+def test_block_runs_contiguous_and_capped():
+    import numpy as np
+
+    from splade_spark.operators.bmp import _block_runs
+
+    blocks = np.array([0, 1, 2, 10, 11, 50])
+    assert _block_runs(blocks) == [(0, 2), (10, 11), (50, 50)]
+    # cap=2: the widest gap (11->50) stays a separator, the narrow one
+    # (2->10) is merged
+    assert _block_runs(blocks, max_ranges=2) == [(0, 11), (50, 50)]
+    assert _block_runs(blocks, max_ranges=1) == [(0, 50)]
+    assert _block_runs(np.array([], dtype=np.int64)) == []
+    assert _block_runs(np.array([7])) == [(7, 7)]
+
+
+def test_bmp_scattered_blocks_fetch_tight(spark, tmp_path, monkeypatch):
+    """When a round's needed doc blocks are scattered across the id
+    space, the per-run range predicates must fetch far fewer postings
+    than the old single global [lo, hi] range (forced here via
+    _MAX_FETCH_RANGES=1), with identical results."""
+    from splade_spark.operators import bmp as bmp_mod
+
+    rows = []
+    for d in range(4096):
+        if (d // 64) % 8 == 0:
+            # every 8th doc-block is PURE short alpha docs: the UB
+            # ordering needs exactly these scattered blocks, and their
+            # uniform high scores let the certificate fire early
+            rows.append((d, "alpha beta"))
+        else:
+            rows.append(
+                (d, f"beta fill{d % 7} fill{d % 11}" + " pad" * (3 + d // 16))
+            )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = str(tmp_path / "bmp_scatter")
+    build_index(docs, idx, n_segments=1, n_buckets=4, block_size=16, salt_unit=256)
+    build_bmp_index(spark, idx, doc_block_size=64)
+
+    qrows = [(1, "alpha beta")]
+    k = 400  # first round pulls ceil(k/64)=7 scattered alpha blocks
+    tight: dict = {}
+    got = search_bmp(spark, idx, qrows, k=k, debug_counts=tight).toPandas()
+    wide: dict = {}
+    monkeypatch.setattr(bmp_mod, "_MAX_FETCH_RANGES", 1)
+    old = search_bmp(spark, idx, qrows, k=k, debug_counts=wide).toPandas()
+    want = (
+        search(spark, idx, spark.createDataFrame(qrows, "qid long, text string"), k=k)
+        .toPandas()
+    )
+    cols = ["qid", "doc_id", "score", "rank"]
+    key = ["qid", "rank"]
+    assert got[cols].sort_values(key).reset_index(drop=True).equals(
+        want[cols].sort_values(key).reset_index(drop=True)
+    )
+    assert old[cols].sort_values(key).reset_index(drop=True).equals(
+        want[cols].sort_values(key).reset_index(drop=True)
+    )
+    assert tight["fetch_ranges"] > wide["fetch_ranges"]
+    assert tight["postings_fetched"] < wide["postings_fetched"] / 2, (tight, wide)
+
+
 def test_bmp_guard_falls_back_to_fused(spark, built):
     """term_block_limit=0 over-limits every term: must route through
     exhaustive search_fused and still answer identically."""
