@@ -35,7 +35,26 @@ def main() -> None:
     from splade_spark.operators.maxscore import search_maxscore
     from splade_spark.session import get_spark
 
-    spark = get_spark(app="maxscore-prune-bench", cores=args.cores)
+    # UI on: the REST status API is where Spark exposes per-stage
+    # bytesRead — the at-scale evidence that pruned scans read bytes
+    # proportional to blocks KEPT, not blocks total
+    spark = get_spark(
+        app="maxscore-prune-bench",
+        cores=args.cores,
+        extra_conf={"spark.ui.enabled": "true", "spark.ui.port": "4057"},
+    )
+
+    def input_bytes() -> int:
+        import json as _json
+        import urllib.request
+
+        base = "http://localhost:4057/api/v1"
+        apps = _json.load(urllib.request.urlopen(f"{base}/applications"))
+        app_id = apps[0]["id"]
+        stages = _json.load(
+            urllib.request.urlopen(f"{base}/applications/{app_id}/stages")
+        )
+        return sum(s.get("inputBytes", 0) for s in stages)
     # SPLADE-shaped query load: 10 mid-df terms (each in ~half the
     # docs, membership = bit j of doc_id) + one rare champion term
     # that lives only in the SHORTEST docs. dl cycles with period 4000
@@ -87,6 +106,14 @@ def main() -> None:
     # two extra count jobs that must not pollute the timing)
     counts: dict = {}
     search_maxscore(spark, idx, queries, k=10, debug_counts=counts, strategy="relation").collect()
+    # bytes measured on CLEAN runs (debug_counts adds metadata count
+    # jobs over the full block set that would inflate the pruned side)
+    b0 = input_bytes()
+    search_maxscore(spark, idx, queries, k=10, strategy="relation").collect()
+    bytes_pruned = input_bytes() - b0
+    b0 = input_bytes()
+    search(spark, idx, queries, k=10).collect()
+    bytes_exhaustive = input_bytes() - b0
     t_ms, r_ms = timed(
         lambda: search_maxscore(spark, idx, queries, k=10, strategy="relation").collect()
     )
@@ -117,6 +144,11 @@ def main() -> None:
                 "maxscore_fused_best_s": round(t_msf, 3),
                 "exhaustive_fused_best_s": round(t_exf, 3),
                 "fused_speedup": round(t_exf / t_msf, 3),
+                "exhaustive_input_bytes": bytes_exhaustive,
+                "maxscore_input_bytes": bytes_pruned,
+                "pruned_bytes_frac": round(
+                    bytes_pruned / max(bytes_exhaustive, 1), 4
+                ),
                 "lossless": True,
                 "cores": args.cores,
             }

@@ -302,10 +302,16 @@ def make_score_kernel(q_arrs: dict, gap_codec: str = "vbyte"):
 
 
 # term-major emits O(sum over queries of candidate docs) partial rows
-# into the score shuffle — batch size multiplies shuffle volume. When
-# that estimate exceeds DOC_MAJOR_FACTOR x the pruned posting count,
-# doc-major wins: shuffle the decoded postings ONCE (independent of
-# batch size), score each doc-range shard locally against every query.
+# into the score shuffle — batch size multiplies shuffle volume.
+# Doc-major shuffles the decoded postings ONCE (packed blobs) and
+# emits only per-partition top-ks, so it wins exactly when the
+# term-major row estimate dwarfs doc-major's emission bound of
+# n_parts x n_queries x k (the dense-match regime: candidate sets
+# far deeper than k). Measured on the 4M-doc replicated corpus:
+# 164M candidate pairs vs a 192k emission bound — doc-major 6.3s vs
+# term-major 50s at local[8]. On a selective corpus (candidates per
+# query ~ k) the bounds coincide and term-major's single shuffle
+# stays ahead.
 DOC_MAJOR_FACTOR = 8
 DOC_MAJOR_MIN_ROWS = 2_000_000
 
@@ -578,15 +584,17 @@ def search_fused(
 
     # strategy pick from dictionary metadata only (no postings access):
     # term-major's score shuffle carries ~candidate_pairs rows (grows
-    # with batch size); doc-major's carries pruned_rows once. High-
-    # match batches (candidate_pairs >> pruned_rows) go doc-major.
-    pruned_rows = sum(df_of.get(t, 0) for t in hit_terms)
+    # with batch size and match depth); doc-major's output is bounded
+    # by n_parts x n_queries x k regardless. Go doc-major when the
+    # collapse is worth its extra exchange (see module comment).
     candidate_pairs = sum(
         df_of.get(int(t), 0) for tids, _ in q_arrs.values() for t in tids
     )
+    n_parts = max(spark.sparkContext.defaultParallelism * 2, 8)
+    emit_bound = n_parts * max(len(q_arrs), 1) * k
     if strategy == "doc" or (
         strategy == "auto"
-        and candidate_pairs > DOC_MAJOR_FACTOR * max(pruned_rows, 1)
+        and candidate_pairs > DOC_MAJOR_FACTOR * emit_bound
         and candidate_pairs > DOC_MAJOR_MIN_ROWS
     ):
         return _search_fused_docmajor(
