@@ -396,6 +396,22 @@ def q_index_search_quantized(spark, sf_dir):
     )
 
 
+def q_index_search_bmp_quantized(spark, sf_dir):
+    """Quantized BMP: integer block-max search (uint8 quant_bytes
+    maxima, exact integer certificate) over the SAME quantized-only
+    (store_impacts=False) index as index_search_quantized — the layout
+    the reference's external BMP engine consumes (bmp_inference/
+    exports). Matches search_quantized row-for-row, so it shares the
+    quantized SQL twin."""
+    from splade_spark.operators.bmp import build_bmp_index, search_bmp
+
+    idx = _materialized_qindex(spark, sf_dir)
+    build_bmp_index(spark, idx, doc_block_size=64, quantized=True)
+    return search_bmp(
+        spark, idx, _driver_query_rows(spark, sf_dir), k=1000, quantized=True
+    )
+
+
 def q_quantized_vectors(spark, sf_dir):
     # floor = the reference's int() truncation (inference_SPLADE.py:70)
     post = logical_postings(load_documents(spark, sf_dir))
@@ -528,6 +544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_search_fused_k1000": q_index_search_fused_k1000,
         "index_search_maxscore_fused_k1000": q_index_search_maxscore_fused_k1000,
         "index_search_bmp_k1000": q_index_search_bmp_k1000,
+        "index_search_bmp_quantized": q_index_search_bmp_quantized,
         "corpus_stats": q_corpus_stats,
         "term_df_top": q_term_df_top,
         "posting_stats": q_posting_stats,
@@ -547,6 +564,7 @@ def oracle_sql() -> dict[str, str]:
         "quantized_query_terms": sql_oracle.quantized_query_terms_sql(),
         "bm25_topk_quantized": sql_oracle.quantized_run_sql(1000),
         "index_search_quantized": sql_oracle.quantized_run_sql(1000),
+        "index_search_bmp_quantized": sql_oracle.quantized_run_sql(1000),
         "composed_text": sql_oracle.COMPOSED_TEXT_BOTH_SQL,
         "pages_extract": sql_oracle.PAGES_EXTRACT_SQL,
         "vector_roundtrip": sql_oracle.quantized_vectors_sql(100),
