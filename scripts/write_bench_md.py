@@ -56,6 +56,7 @@ def main() -> None:
     )
     ap.add_argument("--qps", help="scripts/batch_qps_bench.py output JSON")
     ap.add_argument("--codec", help="scripts/codec_size_bench.py output JSON")
+    ap.add_argument("--drain", help="scripts/append_drain_bench.py output JSON")
     ap.add_argument("--no-calibrate", action="store_true")
     args = ap.parse_args()
 
@@ -116,9 +117,14 @@ def main() -> None:
             "equalize every block max, so pruning cannot fire on this corpus",
             "and the fused path pays its driver passes for nothing. The",
             "pruning section below shows the regime it exists for. The",
-            "batch-q/s row is likewise fixture-bound — the 31-term",
-            "vocabulary makes every query match all 4M docs; the",
-            "selective-vocabulary section below is the honest q/s number.)",
+            "batch-q/s row is dense-match — the 31-term vocabulary makes",
+            "every query match all 4M docs; since round 4 `search_fused`",
+            "auto-routes this regime to the DOC-MAJOR plan (postings",
+            "shuffled once into doc-range shards, local dense-accumulator",
+            "scoring, only per-partition top-ks emitted), which is what the",
+            "batch and single-query rows above measure. The",
+            "selective-vocabulary section below is the honest q/s number",
+            "for sparse-match workloads.)",
         ]
 
     lines += ["", "### N -> 4N efficiency (index docs/sec)", ""]
@@ -219,6 +225,20 @@ def main() -> None:
         prow("`search_maxscore_fused` (driver-side passes) best wall (s)", "{}", "maxscore_fused_best_s", bold=True)
         prow("`search` (exhaustive DataFrame) best wall (s)", "{}", "exhaustive_best_s")
         prow("`search_maxscore` (all-DataFrame two-pass) best wall (s)", "{}", "maxscore_best_s", bold=True)
+        if all("pruned_bytes_frac" in pr for pr in prs):
+            lines.append(
+                "| Spark `bytesRead`, exhaustive scan | "
+                + " | ".join(f"{pr['exhaustive_input_bytes']:,}" for pr in prs)
+                + " |"
+            )
+            lines.append(
+                "| Spark `bytesRead`, pruned plan (all jobs) | "
+                + " | ".join(
+                    f"**{pr['maxscore_input_bytes']:,}** ({pr['pruned_bytes_frac']:.1%})"
+                    for pr in prs
+                )
+                + " |"
+            )
         lines += [
             "| results vs exhaustive | " + " | ".join("identical (lossless, asserted)" for _ in prs) + " |",
             "",
@@ -283,11 +303,59 @@ def main() -> None:
             "| corpus docs | " + " | ".join(f"{lvls[c]['n_docs']:,}" for c in qkeys) + " |",
             "| index build wall (s) | " + " | ".join(str(lvls[c]["build_wall_sec"]) for c in qkeys) + " |",
             "| batch queries | " + " | ".join(str(lvls[c]["n_queries"]) for c in qkeys) + " |",
+            "| batch wall (s) | " + " | ".join(str(lvls[c]["batch_query_wall_sec"]) for c in qkeys) + " |",
             "| **queries/sec** | " + " | ".join(f"**{lvls[c]['queries_per_sec']}**" for c in qkeys) + " |",
             "",
-            f"q/s scaling {min(qkeys)}->{max(qkeys)} cores: speedup"
-            f" {qp['qps_speedup']}x, efficiency {qp['qps_scaling_efficiency']}"
-            f" (reference baseline: ~12-13 q/s batch-1 on an A40).",
+        ]
+        for lo, hi in [(a, b) for a in qkeys for b in qkeys if b == 4 * a]:
+            sp = lvls[hi]["queries_per_sec"] / lvls[lo]["queries_per_sec"]
+            eff = sp / (hi / lo)
+            lines.append(
+                f"- q/s local[{lo}] -> local[{hi}]: speedup {sp:.2f}x,"
+                f" efficiency **{eff:.3f}**"
+            )
+        lines += [
+            "",
+            "(Reference baseline: ~12-13 q/s batch-1 on an A40. The same",
+            "SMT/bandwidth ceiling as the index side applies: the",
+            "local[2]->local[8] pair is the faithful N->4N stand-in; the",
+            "8->32 step ends above the box's physical-core budget.)",
+            "",
+        ]
+
+    if args.drain:
+        with open(args.drain) as f:
+            dr = json.load(f)
+        lines += [
+            "## Continuous ingestion — drain-frequency economics",
+            "",
+            f"`scripts/append_drain_bench.py`: base index of"
+            f" {dr['base_docs']:,} synthetic docs (50k-term vocabulary,"
+            f" build {dr['base_build_s']} s at local[{dr['cores']}]), then"
+            " one `append_index` per drained fraction vs a full rebuild of",
+            "the union. Finalize rewrites ALL postings (BM25 stats are",
+            "global), so append cost is dominated by index size, not drain",
+            "size — stage A (tokenize/encode, the dominant cost with a real",
+            "neural encoder) is the only per-new-doc part:",
+            "",
+            "| drained fraction | new docs | append wall (s) | full rebuild (s) | append/rebuild |",
+            "|---|---|---|---|---|",
+        ]
+        for f_ in dr["fracs"]:
+            lines.append(
+                f"| {f_['frac']:.0%} | {f_['new_docs']:,} |"
+                f" {f_['append_wall_s']} | {f_['full_rebuild_wall_s']} |"
+                f" {f_['append_vs_rebuild']} |"
+            )
+        lines += [
+            "",
+            "Guidance (MIGRATION.md): with a cheap tokenizer the append's",
+            "finalize floor makes FREQUENT small drains uneconomical —",
+            "batch drains so the drained fraction is a meaningful share of",
+            "the index, or accept ~rebuild cost per drain. With a neural",
+            "encoder (the reference's regime, ~250 docs/s/GPU) stage A",
+            "dominates and the append's skip-committed-segments resume is",
+            "the win that matters.",
             "",
         ]
 
@@ -305,17 +373,17 @@ def main() -> None:
         lines += [f"| {k} | {v} |" for k, v in sorted(bench["queries"].items())]
         lines += [
             "",
-            "Round-3 notes: `bm25_topk_k1000`'s r1->r2 2.5->3.7s drift was",
-            "investigated with isolated repetitions — k=10 and k=1000 both",
-            "settle at ~3.3s warm (the same run showed k=10 SLOWER than",
-            "k=1000), so retrieval depth is immaterial and the drift is",
-            "suite warm-up noise. `index_search_maxscore_k1000` uses",
-            "strategy='auto' (delegates the 22-query relation to the fused",
-            "planner) and now lands UNDER exhaustive `index_search_k1000`;",
-            "the all-DataFrame plan is exercised separately by tests and the",
-            "pruning bench. `index_search_bmp_k1000` times the BMP",
-            "block-at-a-time search (its doc-block table is pre-built like",
-            "the other index artifacts).",
+            "Round-4 notes: `index_search_maxscore_k1000` now PINS",
+            "strategy='relation' so the all-DataFrame MaxScore plan has its",
+            "own oracle-checked row (round 3's auto delegated it to the",
+            "fused planner, which `index_search_maxscore_fused_k1000`",
+            "already covers) — its wall includes the relation plan's ~4-job",
+            "fixed floor, expected at this SF. `index_search_bmp_quantized`",
+            "is new: integer block-max search over the quantized-only",
+            "(store_impacts=False) index. `search_fused` entries route",
+            "through the round-4 strategy picker (term-major at this",
+            "selective SF; the doc-major plan is exercised by the scaling",
+            "table above and tests/test_docmajor.py).",
             "",
         ]
 

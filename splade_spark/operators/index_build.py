@@ -342,40 +342,165 @@ def finalize_index(
         # spans the whole term range and pruned scans silently read
         # the full bucket.
         #
-        # The shuffle is RANGE partitioning on the sort key across
-        # cores*2 partitions, not hash on (bucket, term_id): hash
-        # files hold a scattered 1/sort_parts term SUBSET, so their
-        # row-group min/max span nearly the whole id range and a
-        # term-pruned scan silently reads every file in the bucket —
-        # measured +55% scan bytes when the build ran at 4x the cores
-        # (more, smaller hash files). Range files cover contiguous
-        # DISJOINT (term_id, block_id) runs: a term lookup touches
-        # exactly the files whose range intersects, independent of how
-        # many cores built the index, and a hot term's blocks split
-        # across partitions at block_id boundaries (no encoder-group
-        # skew). Not bucket-only partitioning either — n_buckets
+        # The shuffle is RANGE partitioning on the sort key, not hash
+        # on (bucket, term_id): hash files hold a scattered
+        # 1/sort_parts term SUBSET, so their row-group min/max span
+        # nearly the whole id range and a term-pruned scan silently
+        # reads every file in the bucket — measured +55% scan bytes
+        # when the build ran at 4x the cores (more, smaller hash
+        # files). Range files cover contiguous (term_id, block_id)
+        # runs: a term lookup touches exactly the files whose range
+        # intersects, independent of how many cores built the index,
+        # and a hot term's blocks split across ranges at salt
+        # boundaries. Not bucket-only partitioning either — n_buckets
         # partitions would cap the sort at n_buckets-way parallelism
         # (measured -24% build throughput at local[8]).
         #
-        # The persist makes the range sampling pass read the encoded
-        # blocks from cache instead of re-running the encoder (the
-        # expensive stage); it materializes ~index-size bytes once,
-        # the same order as the final write itself.
-        from pyspark.storagelevel import StorageLevel
-
+        # The range boundaries come from the TERM DICTIONARY, not from
+        # repartitionByRange: Spark's range partitioner samples its
+        # input, which here means either re-running the encoder (the
+        # expensive stage) or persisting ~index-size bytes (measured
+        # -30% build throughput at local[32] from cache pressure). The
+        # dictionary already holds the exact posting mass of every
+        # (bucket, term, salt) unit, so boundaries are a metadata-only
+        # computation and blocks flow encoder -> ONE hash shuffle on
+        # the precomputed range id -> sorted write. Placement is
+        # EXACT: each range id is swapped for a driver-found token
+        # whose Murmur3 hash lands in the intended partition, so every
+        # output partition holds exactly ONE contiguous mass-balanced
+        # key run — repartitionByRange semantics with zero sampling.
         sort_parts = spark.sparkContext.defaultParallelism * 2
-        blocks = blocks.persist(StorageLevel.MEMORY_AND_DISK)
-        try:
-            (
-                blocks.repartitionByRange(sort_parts, "bucket", "term_id", "block_id")
-                .sortWithinPartitions("bucket", "term_id", "block_id")
-                .write.mode("overwrite")
-                .option("parquet.block.size", str(POSTINGS_ROWGROUP_BYTES))
-                .partitionBy("bucket")
-                .parquet(post_dir)
+        n_ranges = sort_parts
+        units = (
+            term_dict.select(
+                "bucket",
+                "term_id",
+                F.greatest(
+                    F.ceil(F.col("df") / F.lit(salt_unit)).cast("int"), F.lit(1)
+                ).alias("n_salt"),
+                "df",
             )
-        finally:
-            blocks.unpersist()
+            .withColumn("salt", F.explode(F.sequence(F.lit(0), F.col("n_salt") - 1)))
+            .withColumn(
+                "mass",
+                F.col("df") / F.col("n_salt") / F.lit(block_size) + F.lit(1.0),
+            )
+        )
+        ubw = (
+            Window.partitionBy("bucket")
+            .orderBy("term_id", "salt")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        units = units.withColumn("cum", F.sum("mass").over(ubw))
+        brows = units.groupBy("bucket").agg(
+            F.max("cum").alias("tot"),
+            F.max("term_id").alias("mt"),
+            F.max("n_salt").alias("ms"),
+        ).collect()  # n_buckets rows — metadata-scale by design
+        btot = {int(r.bucket): float(r.tot) for r in brows}
+        # bit budget for the packed (bucket, term_id, salt) range key,
+        # sized from the ACTUAL id ranges so it stays monotone with the
+        # sort order at any scale (a fixed salt field overflows into
+        # term bits once hot-term df exceeds 2^bits * salt_unit). If
+        # the ids are so large salt can't fit, the clamp merges salt
+        # tails — boundaries coarsen, monotonicity survives.
+        term_bits = max(max(int(r.mt) for r in brows).bit_length(), 1)
+        salt_bits = max(
+            min(
+                max((max(int(r.ms) for r in brows) - 1).bit_length(), 1),
+                62 - max((n_buckets - 1).bit_length(), 1) - term_bits,
+            ),
+            0,
+        )
+        salt_cap = (1 << salt_bits) - 1
+        bbase, acc_m = {}, 0.0
+        for b in sorted(btot):
+            bbase[b] = acc_m
+            acc_m += btot[b]
+        width = max(acc_m / n_ranges, 1e-9)
+        base_df = spark.createDataFrame(
+            [(b, v) for b, v in bbase.items()], "bucket int, gbase double"
+        )
+        # boundary units: rows where the GLOBAL cumulative mass crosses
+        # a width multiple; at most n_ranges rows come back
+        bounds = (
+            units.join(F.broadcast(base_df), "bucket")
+            .withColumn("gcum", F.col("gbase") + F.col("cum"))
+            .filter(
+                F.floor(F.col("gcum") / F.lit(width))
+                > F.floor((F.col("gcum") - F.col("mass")) / F.lit(width))
+            )
+            .select("bucket", "term_id", "salt")
+            .collect()
+        )
+        # single-long range key, bucket-major then term then salt —
+        # the same total order as the (bucket, term_id, block_id) sort
+        # (block_id's high bits ARE the salt)
+        ts_bits = term_bits + salt_bits
+        bkeys = sorted(
+            (
+                (int(r.bucket) << ts_bits)
+                | (int(r.term_id) << salt_bits)
+                | min(int(r.salt), salt_cap)
+            )
+            for r in bounds
+        )[: n_ranges - 1]
+        stride_log = _BLOCK_ID_STRIDE.bit_length() - 1
+        key_col = (
+            F.shiftleft(F.col("bucket").cast("long"), ts_bits)
+            .bitwiseOR(F.shiftleft(F.col("term_id").cast("long"), salt_bits))
+            .bitwiseOR(
+                F.least(
+                    F.shiftright(F.col("block_id"), stride_log).cast("long"),
+                    F.lit(salt_cap),
+                )
+            )
+        )
+        # exact range -> partition placement: the exchange hashes the
+        # _pid column with Murmur3(seed 42) — the same function F.hash
+        # exposes — so a metadata-scale probe finds, for each target
+        # partition, a token that hashes into it. Range i gets
+        # tokens[i]: every partition receives exactly one range
+        # (hash-on-small-int placement is Poisson — ~2x partition-size
+        # spread and ~1/e^4 empty partitions it can't fill).
+        tok: dict[int, int] = {}
+        probe = sort_parts * 40
+        while len(tok) < sort_parts:
+            for r in (
+                spark.range(probe)
+                .select(
+                    F.col("id").cast("int").alias("t"),
+                    F.pmod(F.hash(F.col("id").cast("int")), F.lit(sort_parts)).alias(
+                        "p"
+                    ),
+                )
+                .collect()
+            ):
+                tok.setdefault(int(r.p), int(r.t))
+            probe *= 4
+        tokens = [tok[i % sort_parts] for i in range(n_ranges)]
+        if bkeys:
+            rng_idx = F.size(
+                F.filter(
+                    F.array(*[F.lit(k) for k in bkeys]),
+                    lambda b: b <= key_col,
+                )
+            )
+            pid_col = F.element_at(
+                F.array(*[F.lit(t) for t in tokens]), rng_idx + F.lit(1)
+            )
+        else:
+            pid_col = F.lit(tokens[0])
+        (
+            blocks.withColumn("_pid", pid_col)
+            .repartition(sort_parts, "_pid")
+            .sortWithinPartitions("bucket", "term_id", "block_id")
+            .drop("_pid")
+            .write.mode("overwrite")
+            .option("parquet.block.size", str(POSTINGS_ROWGROUP_BYTES))
+            .partitionBy("bucket")
+            .parquet(post_dir)
+        )
         man.commit(
             "finalize",
             "postings",
