@@ -92,6 +92,28 @@ def main() -> None:
         "single-query top-k is TakeOrderedAndProject, not a window.",
     ))
 
+    qr_batch = [(int(r.qid), r.text) for r in qs.collect()]
+    sections.append((
+        "search_fused strategy='doc' (doc-major batch: pack → ONE doc-range exchange → shard-local scoring)",
+        formatted(search_fused(spark, idx_dir, qr_batch, strategy="doc")),
+        "What to check: the same doubly-pruned scan (bucket partition-dir "
+        "filter + pushed term_id IN), then TWO Arrow kernels around a SINGLE "
+        "exchange hashed on the doc shard: pack (decode blocks, group postings "
+        "into per-(shard, term) binary blob rows — shuffle bytes stay O(pruned "
+        "postings) but row count collapses ~1000×, killing per-row exchange "
+        "overhead) and score (shard-local dense accumulators score EVERY query "
+        "of the batch; only per-partition top-k candidates are emitted, so "
+        "output is bounded by parts × queries × k regardless of match depth). "
+        "The partial `WindowGroupLimit` then caps each partition's contribution "
+        "before the final qid exchange. Batch size never multiplies shuffle "
+        "volume — the doc-partitioned shard architecture of a search cluster, "
+        "as one Spark exchange. Measured (4M-doc replicated corpus, 12-query "
+        "batch, local[8]): term-major 50s → doc-major 6-13s; dense single "
+        "query 5s → 1.5s. `strategy=\"auto\"` picks doc-major from dictionary "
+        "metadata only, when estimated candidate pairs exceed 8× the emission "
+        "bound (parts × queries × k) and 2M rows.",
+    ))
+
     from splade_spark.operators.index_query import search_quantized
     from splade_spark.operators.maxscore import search_maxscore_fused
 
