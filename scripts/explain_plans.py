@@ -171,6 +171,50 @@ def main() -> None:
         "broadcast; top-k via per-query window.",
     ))
 
+    from splade_spark.operators.bmp import bmp_table_df
+
+    sections.append((
+        "build_bmp_index (postings → doc-partitioned block-max table)",
+        formatted(bmp_table_df(spark, idx_dir)),
+        "What to check: ONE decode pass over the postings (MapInPandas "
+        "directly on the scan — no pre-shuffle), map-side partial `max` "
+        "before the single exchange on (term_id, doc_block) (the "
+        "HashAggregate pair around the Exchange), and the bucket attach is a "
+        "broadcast of the vocab-sized term dictionary — the only shuffle in "
+        "the whole derivation is the aggregate's. At 10^12 docs this is a "
+        "linear scan + one metadata-scale shuffle (output rows <= "
+        "min(df_t, N/B) per term); build_bmp_index then writes it with the "
+        "same sorted bucket-partitioned layout as the postings so "
+        "query-time bmp scans bucket-prune and row-group-skip identically. "
+        "`search_bmp` itself has no distributed plan to show: the UB "
+        "ranking, batch-synchronous block rounds, and the lossless stop "
+        "certificate run driver-side on metadata-scale pyarrow reads "
+        "(operators/bmp.py), exactly like `search_maxscore_fused`'s "
+        "passes; its result is a driver-local relation. Over-limit terms "
+        "fall back to `search_fused`, whose plan is documented above.",
+    ))
+
+    from splade_spark.operators.maxscore import search_maxscore
+
+    sections.append((
+        "search_maxscore strategy='relation' (final pruned-scan job)",
+        formatted(search_maxscore(spark, idx_dir, qs, strategy="relation")),
+        "What to check: this is the LAST job of the ~4-job relation plan "
+        "(the block-metadata persist, champion selection, and "
+        "retained-pair collect ran eagerly as their own jobs while the "
+        "relation was being planned — they are invisible here). The "
+        "postings scan carries the bucket partition filter plus the "
+        "retained set as a pushed per-term `block_id IN (...)` literal "
+        "filter (PushedFilters), so byte reads scale with blocks KEPT "
+        "(measured: BENCH/BASELINE.md pruning table); after the Arrow "
+        "decode it is a broadcast q_tf join → hash agg → window top-k. "
+        "The champion floor decodes only the top-block_max blocks "
+        "covering >= k postings per query (metadata window → driver-safe "
+        "collect → the same literal filter shape). Relations <= 4096 rows "
+        "never run it: strategy='auto' collects the texts and delegates "
+        "to the fused planner (zero-to-one cluster jobs).",
+    ))
+
     out = [
         "# PLANS — physical-plan evidence for the 100 TB design",
         "",

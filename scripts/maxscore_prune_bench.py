@@ -1,9 +1,40 @@
 """Evidence that MaxScore/Block-Max pruning WINS on a skewed corpus
 (the replicated bench corpus equalizes block maxima, so the main
-bench can't show it). Builds the dl-skewed fixture from
-tests/test_maxscore_pruning.py at a configurable size, then times
-exhaustive `search` vs `search_maxscore` on the same index and
-reports blocks_kept/blocks_total.
+bench can't show it), and that the pruned plan's literal
+(term_id, block_id) filters translate into BYTES at the parquet
+row-group layer.
+
+Byte accounting is computed from the REAL parquet footers with
+pyarrow, by replaying parquet-mr's row-group statistics filter
+(keep a row group iff some disjunct `term_id = t AND block_id IN bs`
+intersects its min/max ranges) against the literal pair sets the
+live search actually fetched (`search_maxscore(debug_pairs=...)`),
+and summing the surviving row groups' compressed column-chunk sizes
+for exactly the columns each scan projects. Spark's own stage-level
+`inputBytes` metric is NOT used: on local[*] it attributes only
+footer reads (a probe with an impossible pushed filter and a
+full-table scan both reported byte-identical totals on a 5.7 MB
+table), so it cannot distinguish a pruned scan from an exhaustive
+one.
+
+Row groups are written at --rowgroup-kb (default 16 KB) instead of
+the production 8 MB so the bench reproduces the at-scale shape — a
+hot term's posting list spanning MANY row groups (at 10^12 docs a
+stopword term spans thousands of 8 MB groups; at 6M docs it would
+fit in one, and no within-term skipping would be measurable at any
+granularity).
+
+Two docID layouts:
+  default (clustered): doc length ramps monotonically with doc_id —
+    the quality/length-ordered docID assignment standard in web IR
+    (docID-reassignment literature; crawl/site locality has the same
+    effect). High-block-max blocks cluster, so row-group min/max
+    stats skip the rest: bytes scale with blocks KEPT.
+  --scattered: doc length cycles with period 4000, so every row
+    group contains a hot block. Pruning still drops the same block
+    fraction (same blocks_kept) but NO stats granularity can skip a
+    row group — the honest negative result that shows WHY docID
+    assignment (or BMP's doc-partitioned layout) matters at scale.
 
 Usage: python scripts/maxscore_prune_bench.py [--docs 200000] [--reps 3]
 """
@@ -11,6 +42,7 @@ Usage: python scripts/maxscore_prune_bench.py [--docs 200000] [--reps 3]
 from __future__ import annotations
 
 import argparse
+import glob
 import json
 import os
 import sys
@@ -19,51 +51,98 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# columns each scan projects (keep in sync with index_query._BLOCK_COLS
+# and the metadata projection in maxscore.search_maxscore)
+PAYLOAD_COLS = ["term_id", "block_id", "first_doc_id", "n", "doc_gap_bytes", "impact_bytes"]
+META_COLS = ["term_id", "block_id", "n", "first_doc_id", "last_doc_id", "block_max"]
+
+
+def rowgroup_accounting(
+    post_dir: str, buckets: list[int], passes: dict[str, dict[int, list[int]]]
+) -> dict:
+    """Replay parquet's row-group stats filter over the real footers."""
+    import pyarrow.parquet as pq
+
+    files = []
+    for b in buckets:
+        files.extend(glob.glob(os.path.join(post_dir, f"bucket={b}", "*.parquet")))
+    rgs = []  # (term_min, term_max, block_min, block_max, {col: bytes})
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        for i in range(md.num_row_groups):
+            rg = md.row_group(i)
+            sizes, tmin = {}, None
+            for j, name in enumerate(names):
+                col = rg.column(j)
+                sizes[name] = col.total_compressed_size
+                st = col.statistics
+                if name == "term_id":
+                    tmin, tmax = st.min, st.max
+                elif name == "block_id":
+                    bmin, bmax = st.min, st.max
+            rgs.append((tmin, tmax, bmin, bmax, sizes))
+
+    def colsum(sizes: dict, cols: list[str]) -> int:
+        return sum(sizes[c] for c in cols)
+
+    out = {
+        "rg_count": len(rgs),
+        "exhaustive_rg_bytes": sum(colsum(s, PAYLOAD_COLS) for *_, s in rgs),
+        "pruned_meta_rg_bytes": sum(colsum(s, META_COLS) for *_, s in rgs),
+        "rg_survived": {},
+    }
+    payload = 0
+    for pname, by_t in passes.items():
+        surv = n_surv = 0
+        for tmin, tmax, bmin, bmax, sizes in rgs:
+            if any(
+                tmin <= t <= tmax and any(bmin <= b <= bmax for b in bs)
+                for t, bs in by_t.items()
+            ):
+                surv += colsum(sizes, PAYLOAD_COLS)
+                n_surv += 1
+        out["rg_survived"][pname] = n_surv
+        payload += surv
+    out["pruned_payload_rg_bytes"] = payload
+    out["pruned_total_rg_bytes"] = payload + out["pruned_meta_rg_bytes"]
+    return out
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=200_000)
     ap.add_argument("--n-rare", type=int, default=40)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--rowgroup-kb", type=int, default=16)
+    ap.add_argument("--scattered", action="store_true")
     ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", 32)))
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
 
+    from splade_spark.operators import index_build
     from splade_spark.operators.index_build import build_index
-    from splade_spark.operators.index_query import search
+    from splade_spark.operators.index_query import (
+        buckets_for_queries,
+        load_stats,
+        search,
+    )
     from splade_spark.operators.maxscore import search_maxscore
     from splade_spark.session import get_spark
 
-    # UI on: the REST status API is where Spark exposes per-stage
-    # bytesRead — the at-scale evidence that pruned scans read bytes
-    # proportional to blocks KEPT, not blocks total
-    spark = get_spark(
-        app="maxscore-prune-bench",
-        cores=args.cores,
-        extra_conf={"spark.ui.enabled": "true", "spark.ui.port": "4057"},
-    )
+    index_build.POSTINGS_ROWGROUP_BYTES = args.rowgroup_kb * 1024
+    spark = get_spark(app="maxscore-prune-bench", cores=args.cores)
 
-    def input_bytes() -> int:
-        import json as _json
-        import urllib.request
-
-        base = "http://localhost:4057/api/v1"
-        apps = _json.load(urllib.request.urlopen(f"{base}/applications"))
-        app_id = apps[0]["id"]
-        stages = _json.load(
-            urllib.request.urlopen(f"{base}/applications/{app_id}/stages")
-        )
-        return sum(s.get("inputBytes", 0) for s in stages)
     # SPLADE-shaped query load: 10 mid-df terms (each in ~half the
-    # docs, membership = bit j of doc_id) + one rare champion term
-    # that lives only in the SHORTEST docs. dl cycles with period 4000
-    # (pad count 3..503), so each term's posting blocks have strongly
-    # varying block maxima — the skew Block-Max pruning exploits.
-    # candidates carry tf=8 on every query term — the BM25 analog of
-    # SPLADE's high impact weights on matching expansion terms; block
-    # maxima of ordinary (tf=1) blocks sit at ~55-70% of the term UB,
-    # which is the gap Block-Max pruning cashes in
+    # docs, membership = pseudo-random hash of (doc_id, j) — random
+    # docID gaps, so the encoded payload compresses like real postings
+    # instead of collapsing under the parquet page codec) + one rare
+    # champion term that lives only in the SHORTEST docs. candidates
+    # carry tf=8 on every query term — the BM25 analog of SPLADE's
+    # high impact weights on matching expansion terms; block maxima of
+    # ordinary (tf=1) blocks sit well below the term UB, which is the
+    # gap Block-Max pruning cashes in.
     n_terms = 10
     cand_terms = F.repeat(
         F.lit(" " + " ".join(f"t{j}" for j in range(n_terms))), 8
@@ -71,19 +150,22 @@ def main() -> None:
     mid_terms = F.concat(
         *[
             F.when(
-                F.col("id").bitwiseAND(F.lit(1 << j)) == 0, F.lit(f" t{j}")
+                F.pmod(F.hash(F.col("id"), F.lit(j)), F.lit(2)) == 0,
+                F.lit(f" t{j}"),
             ).otherwise(F.lit(""))
             for j in range(n_terms)
         ]
     )
+    if args.scattered:
+        pad_n = F.lit(3) + ((F.col("id") % 4000) / 8).cast("int")
+    else:
+        pad_n = F.lit(3) + (F.col("id") * 500 / args.docs).cast("int")
     docs = spark.range(args.docs).select(
         F.col("id").alias("doc_id"),
         F.concat(
             F.when(F.col("id") < args.n_rare, F.lit("rare")).otherwise(F.lit("x")),
             F.when(F.col("id") < args.n_rare, cand_terms).otherwise(mid_terms),
-            F.repeat(
-                F.lit(" pad"), (F.lit(3) + ((F.col("id") % 4000) / 8).cast("int"))
-            ),
+            F.repeat(F.lit(" pad"), pad_n),
         ).alias("text"),
     )
     idx = tempfile.mkdtemp(prefix="prune_bench_")
@@ -102,18 +184,20 @@ def main() -> None:
             best = min(best, time.time() - t)
         return best, rows
 
-    # block-count evidence gathered ONCE, untimed (debug_counts adds
-    # two extra count jobs that must not pollute the timing)
+    # block-count + literal-pair evidence gathered ONCE, untimed
+    # (debug_counts adds two extra count jobs that must not pollute
+    # the timing; debug_pairs adds none)
     counts: dict = {}
-    search_maxscore(spark, idx, queries, k=10, debug_counts=counts, strategy="relation").collect()
-    # bytes measured on CLEAN runs (debug_counts adds metadata count
-    # jobs over the full block set that would inflate the pruned side)
-    b0 = input_bytes()
-    search_maxscore(spark, idx, queries, k=10, strategy="relation").collect()
-    bytes_pruned = input_bytes() - b0
-    b0 = input_bytes()
-    search(spark, idx, queries, k=10).collect()
-    bytes_exhaustive = input_bytes() - b0
+    pairs: dict = {}
+    search_maxscore(
+        spark, idx, queries, k=10, debug_counts=counts, debug_pairs=pairs,
+        strategy="relation",
+    ).collect()
+    acct = rowgroup_accounting(
+        os.path.join(idx, "postings"),
+        buckets_for_queries(queries, load_stats(idx)["n_buckets"]),
+        pairs,
+    )
     t_ms, r_ms = timed(
         lambda: search_maxscore(spark, idx, queries, k=10, strategy="relation").collect()
     )
@@ -135,6 +219,8 @@ def main() -> None:
         json.dumps(
             {
                 "docs": args.docs,
+                "layout": "scattered" if args.scattered else "clustered",
+                "rowgroup_kb": args.rowgroup_kb,
                 "build_s": round(build_s, 2),
                 "blocks_total": counts["blocks_total"],
                 "blocks_kept": counts["blocks_kept"],
@@ -144,10 +230,16 @@ def main() -> None:
                 "maxscore_fused_best_s": round(t_msf, 3),
                 "exhaustive_fused_best_s": round(t_exf, 3),
                 "fused_speedup": round(t_exf / t_msf, 3),
-                "exhaustive_input_bytes": bytes_exhaustive,
-                "maxscore_input_bytes": bytes_pruned,
+                **acct,
                 "pruned_bytes_frac": round(
-                    bytes_pruned / max(bytes_exhaustive, 1), 4
+                    acct["pruned_total_rg_bytes"]
+                    / max(acct["exhaustive_rg_bytes"], 1),
+                    4,
+                ),
+                "pruned_payload_bytes_frac": round(
+                    acct["pruned_payload_rg_bytes"]
+                    / max(acct["exhaustive_rg_bytes"], 1),
+                    4,
                 ),
                 "lossless": True,
                 "cores": args.cores,

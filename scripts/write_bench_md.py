@@ -188,7 +188,7 @@ def main() -> None:
             "",
             "The replicated scaling corpus equalizes block maxima, so pruning",
             "can't fire there. `scripts/maxscore_prune_bench.py` builds a",
-            "corpus with the skew pruning exploits (doc-length cycle +",
+            "corpus with the skew pruning exploits (doc-length variation +",
             "tf-heavy candidate docs — the BM25 analog of SPLADE's",
             "impact-weight skew) and runs one 11-term query. `search_maxscore`",
             "is forced onto the all-DataFrame plan (strategy='relation');",
@@ -200,7 +200,11 @@ def main() -> None:
         for path in args.prune:
             with open(path) as f:
                 prs.append(json.load(f))
-        hdr = " | ".join(f"{pr['docs']:,} docs" for pr in prs)
+        hdr = " | ".join(
+            f"{pr['docs']:,} docs"
+            + (f" ({pr['layout']})" if "layout" in pr else "")
+            for pr in prs
+        )
         lines += [
             f"| metric | {hdr} |",
             "|---|" + "---|" * len(prs),
@@ -226,15 +230,32 @@ def main() -> None:
         prow("`search` (exhaustive DataFrame) best wall (s)", "{}", "exhaustive_best_s")
         prow("`search_maxscore` (all-DataFrame two-pass) best wall (s)", "{}", "maxscore_best_s", bold=True)
         if all("pruned_bytes_frac" in pr for pr in prs):
+            prow("parquet row groups (query-term buckets)", "{:,}", "rg_count")
             lines.append(
-                "| Spark `bytesRead`, exhaustive scan | "
-                + " | ".join(f"{pr['exhaustive_input_bytes']:,}" for pr in prs)
+                "| row groups surviving the pruned payload fetches | "
+                + " | ".join(
+                    f"{pr['rg_survived']['retained']:,} retained-pass"
+                    f" / {pr['rg_survived'].get('cover', 0):,} cover"
+                    f" / {pr['rg_survived'].get('champion', 0):,} champion"
+                    for pr in prs
+                )
+                + " |"
+            )
+            prow("exhaustive scan bytes (row-group accounted)", "{:,}", "exhaustive_rg_bytes")
+            lines.append(
+                "| pruned payload bytes (scales with blocks kept) | "
+                + " | ".join(
+                    f"**{pr['pruned_payload_rg_bytes']:,}**"
+                    f" ({pr['pruned_payload_bytes_frac']:.1%})"
+                    for pr in prs
+                )
                 + " |"
             )
             lines.append(
-                "| Spark `bytesRead`, pruned plan (all jobs) | "
+                "| + block-metadata working set (read once per batch) | "
                 + " | ".join(
-                    f"**{pr['maxscore_input_bytes']:,}** ({pr['pruned_bytes_frac']:.1%})"
+                    f"{pr['pruned_meta_rg_bytes']:,}"
+                    f" (total {pr['pruned_bytes_frac']:.1%})"
                     for pr in prs
                 )
                 + " |"
@@ -242,18 +263,43 @@ def main() -> None:
         lines += [
             "| results vs exhaustive | " + " | ".join("identical (lossless, asserted)" for _ in prs) + " |",
             "",
+            "Byte accounting replays parquet's row-group statistics filter",
+            "over the REAL footers (pyarrow) against the literal",
+            "(term_id, block_id) pair sets the live search fetched",
+            "(`search_maxscore(debug_pairs=...)`), summing surviving row",
+            "groups' compressed column-chunk sizes for the columns each scan",
+            "projects. Spark's stage `inputBytes` is NOT usable for this on",
+            "local[*]: a probe showed it attributes only footer reads (an",
+            "impossible pushed filter and a full-table scan reported",
+            "byte-identical totals), so it cannot tell a pruned scan from an",
+            "exhaustive one. Row groups are written at 16 KB here so a",
+            "query term spans many groups — the at-scale shape (a hot term",
+            "at 10^12 docs spans thousands of 8 MB groups).",
+            "",
+            "The 'clustered' layout is quality/length-ordered docID",
+            "assignment (standard web-IR docID reassignment; crawl/site",
+            "locality gives the same effect): hot blocks cluster, the",
+            "retained-set literal filter skips everything else, and pruned",
+            "payload bytes track blocks KEPT. The 'scattered' layout",
+            "(doc-length cycling faster than a row group) is the honest",
+            "negative control: pruning drops the same block fraction but",
+            "every row group contains a hot block, so no stats granularity",
+            "can skip — the measured reason docID assignment (or BMP's",
+            "doc-partitioned layout) matters at 100 TB. The block-metadata",
+            "working set (the columns MaxScore prunes on) is read ONCE per",
+            "query batch into a persisted relation and amortizes across the",
+            "batch; production keeps it resident, like the fused planner's",
+            "driver-side dictionary pass.",
+            "",
             "The all-DataFrame plan pays a ~4-job fixed floor (bucket",
             "literals, champion selection, retained-pair collect, final",
-            "pruned scan); the (term_id, block_id) retained set becomes a",
-            "LITERAL parquet filter, so its byte reads scale with blocks",
-            "KEPT (0.2% here), not blocks total. On this box the fixed",
-            "floor keeps its wall roughly at parity with exhaustive at",
-            "these corpus sizes — the I/O advantage is the at-scale",
-            "argument, the local win is the FUSED row. Small query",
-            "relations never pay the floor: strategy='auto' delegates them",
-            "to the fused planner, whose driver-side passes answer",
-            "sub-256-block retained sets with zero cluster jobs (the 5-12x",
-            "row above).",
+            "pruned scan); on this box the fixed floor keeps its wall",
+            "roughly at parity with exhaustive at these corpus sizes — the",
+            "I/O advantage is the at-scale argument, the local win is the",
+            "FUSED row. Small query relations never pay the floor:",
+            "strategy='auto' delegates them to the fused planner, whose",
+            "driver-side passes answer sub-256-block retained sets with",
+            "zero cluster jobs (the 5-12x row above).",
             "",
         ]
 

@@ -73,6 +73,50 @@ def _block_runs(blocks, max_ranges: int = _MAX_FETCH_RANGES):
     return [(int(blocks[s]), int(blocks[e])) for s, e in zip(starts, ends)]
 
 
+def bmp_table_df(
+    spark: SparkSession,
+    index_dir: str,
+    doc_block_size: int = DEFAULT_DOC_BLOCK,
+    quantized: bool = False,
+) -> DataFrame:
+    """The block-max table derivation as a DataFrame: one decode pass
+    over the postings -> partial-then-final max per (term_id,
+    doc_block) -> broadcast bucket attach. Shared by build_bmp_index
+    (which writes it sorted/bucket-partitioned) and the plan dump
+    (scripts/explain_plans.py)."""
+    from splade_spark.operators.index_query import (
+        decode_blocks_df,
+        decode_blocks_quant_df,
+        load_postings,
+        load_stats,
+    )
+
+    stats = load_stats(index_dir)
+    postings = load_postings(spark, index_dir)
+    if quantized:
+        decoded = decode_blocks_quant_df(postings, stats.get("gap_codec", "vbyte"))
+        val = F.col("d_w")
+    else:
+        from splade_spark.operators.index_query import require_impacts
+
+        require_impacts(stats)
+        decoded = decode_blocks_df(postings, stats.get("gap_codec", "vbyte"))
+        val = F.col("impact")
+    bmp = (
+        decoded.withColumn(
+            "doc_block", (F.col("doc_id") / F.lit(doc_block_size)).cast("long")
+        )
+        .groupBy("term_id", "doc_block")
+        .agg(F.max(val).alias("ub"))
+    )
+    # bucket comes from the term dictionary (content-addressed md5) so
+    # query-time bucket literals prune bmp exactly like postings
+    term_dict = spark.read.parquet(os.path.join(index_dir, "term_dict")).select(
+        "term_id", "bucket"
+    )
+    return bmp.join(F.broadcast(term_dict), "term_id")
+
+
 def build_bmp_index(
     spark: SparkSession,
     index_dir: str,
@@ -90,12 +134,6 @@ def build_bmp_index(
     ``store_impacts=False`` index.
     """
     from splade_spark.operators.index_build import POSTINGS_ROWGROUP_BYTES
-    from splade_spark.operators.index_query import (
-        decode_blocks_df,
-        decode_blocks_quant_df,
-        load_postings,
-        load_stats,
-    )
     from splade_spark.plans.snapshots import Manifest, dir_bytes
 
     import json
@@ -125,31 +163,8 @@ def build_bmp_index(
     import time as _time
 
     t0 = _time.time()
-    stats = load_stats(index_dir)
-    postings = load_postings(spark, index_dir)
-    if quantized:
-        decoded = decode_blocks_quant_df(postings, stats.get("gap_codec", "vbyte"))
-        val = F.col("d_w")
-    else:
-        from splade_spark.operators.index_query import require_impacts
-
-        require_impacts(stats)
-        decoded = decode_blocks_df(postings, stats.get("gap_codec", "vbyte"))
-        val = F.col("impact")
-    bmp = (
-        decoded.withColumn(
-            "doc_block", (F.col("doc_id") / F.lit(doc_block_size)).cast("long")
-        )
-        .groupBy("term_id", "doc_block")
-        .agg(F.max(val).alias("ub"))
-    )
-    # bucket comes from the term dictionary (content-addressed md5) so
-    # query-time bucket literals prune bmp exactly like postings
-    term_dict = spark.read.parquet(os.path.join(index_dir, "term_dict")).select(
-        "term_id", "bucket"
-    )
     (
-        bmp.join(F.broadcast(term_dict), "term_id")
+        bmp_table_df(spark, index_dir, doc_block_size, quantized)
         .repartition("bucket")
         .sortWithinPartitions("term_id", "doc_block")
         .write.mode("overwrite")

@@ -18,10 +18,14 @@ Stage B ``finalize`` — the N-way merge (reference analog:
   pruning with prune literals computable from raw query tokens.
 
 Skew: a stopword-ish term at 10^12 docs has a posting run of ~N
-entries — it must never be collected into one task. ``salt =
-pmod(doc_id, ceil(df / salt_unit))`` bounds every applyInPandas
+entries — it must never be collected into one task. Doc-RANGE
+salting (salt i = i-th contiguous slice of the corpus doc_id range,
+ceil(df / salt_unit) slices per term) bounds every applyInPandas
 group to ~salt_unit postings; blocks are independent (absolute
-first_doc_id + in-block gaps) so salted groups need no post-merge.
+first_doc_id + in-block gaps) so salted groups need no post-merge,
+and a term's block doc-ranges stay disjoint + ordered across salts
+(doc-locality clusters hot blocks -> row-group skipping; see the
+salt expression comment in the postings step).
 """
 
 from __future__ import annotations
@@ -222,6 +226,8 @@ def finalize_index(
                 obs,
                 F.count(F.lit(1)).alias("n_docs"),
                 F.avg("dl").alias("avgdl"),
+                F.min("doc_id").alias("min_doc_id"),
+                F.max("doc_id").alias("max_doc_id"),
             )
             .write.mode("overwrite")
             .parquet(os.path.join(index_dir, "docs"))
@@ -232,6 +238,8 @@ def finalize_index(
                 {
                     "n_docs": n_docs,
                     "avgdl": avgdl,
+                    "min_doc_id": int(obs.get["min_doc_id"]),
+                    "max_doc_id": int(obs.get["max_doc_id"]),
                     "n_buckets": n_buckets,
                     "gap_codec": gap_codec,
                     "store_impacts": store_impacts,
@@ -248,6 +256,14 @@ def finalize_index(
         # a resumed finalize keeps the codec the committed stats declared
         gap_codec = st.get("gap_codec", gap_codec)
         store_impacts = st.get("store_impacts", store_impacts)
+    with open(stats_path) as f:
+        _st = json.load(f)
+    if "min_doc_id" in _st:
+        min_doc_id, max_doc_id = int(_st["min_doc_id"]), int(_st["max_doc_id"])
+    else:
+        # stats committed by a pre-range-salting build: one metadata agg
+        r = lens.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+        min_doc_id, max_doc_id = int(r[0]), int(r[1])
 
     # --- step 2: term dictionary -------------------------------------------
     # Dense term ids by deterministic (bucket, term) order (replaces
@@ -312,11 +328,35 @@ def finalize_index(
                     F.lit(avgdl),
                 ).alias("impact"),
                 "bucket",
-                F.pmod(
-                    "doc_id",
-                    F.greatest(
-                        F.ceil(F.col("df") / F.lit(salt_unit)).cast("int"), F.lit(1)
+                # doc-RANGE salting: salt i of a term covers the i-th
+                # contiguous slice of the corpus doc_id range, NOT
+                # pmod(doc_id, n_salt). pmod scatters every doc-id
+                # region across ALL of a hot term's salt groups, so any
+                # doc-locality in the corpus (quality/length-ordered
+                # docID assignment, crawl/site clustering) puts >= 1
+                # high-block-max block at the head of EVERY salt run and
+                # a Block-Max-pruned scan can never skip a row group.
+                # Range salts keep block doc-ranges disjoint and ordered
+                # across a term's blocks: hot blocks cluster into few
+                # salt runs, row-group min/max stats skip the rest, and
+                # docID gaps inside a salt shrink n_salt-fold (smaller
+                # VByte payload). Group-size bound: ~df/n_salt postings
+                # per group for corpus-wide terms (the pmod bound); a
+                # term fully concentrated in 1/c of the doc range gets
+                # ~c*salt_unit-posting groups — graceful, and bounded by
+                # the span's doc count. double math: exact enough at any
+                # scale (boundary rounding only shifts group balance).
+                F.least(
+                    F.floor(
+                        (F.col("doc_id") - F.lit(min_doc_id))
+                        / F.lit(float(max(max_doc_id - min_doc_id + 1, 1)))
+                        * F.greatest(
+                            F.ceil(F.col("df") / F.lit(salt_unit)), F.lit(1)
+                        )
                     ),
+                    F.greatest(
+                        F.ceil(F.col("df") / F.lit(salt_unit)), F.lit(1)
+                    ) - 1,
                 ).cast("int").alias("salt"),
             )
         )
@@ -381,6 +421,10 @@ def finalize_index(
                 "df",
             )
             .withColumn("salt", F.explode(F.sequence(F.lit(0), F.col("n_salt") - 1)))
+            # df/n_salt mass per salt is exact for pmod salting and the
+            # expectation for range salting; doc-skewed terms only tilt
+            # FILE-size balance (placement stays correct — the range key
+            # is computed per row, boundaries just land off-median)
             .withColumn(
                 "mass",
                 F.col("df") / F.col("n_salt") / F.lit(block_size) + F.lit(1.0),

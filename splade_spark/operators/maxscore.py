@@ -407,6 +407,7 @@ def _literal_block_src(
     pairs_df: DataFrame,
     fallback: DataFrame,
     limit: int = 20_000,
+    pairs_sink: tuple[dict, str] | None = None,
 ):
     """Postings restricted to a (term_id, block_id) pair set.
 
@@ -423,6 +424,11 @@ def _literal_block_src(
     by_t: dict[int, list[int]] = {}
     for r in rows:
         by_t.setdefault(int(r.term_id), []).append(int(r.block_id))
+    if pairs_sink is not None:
+        # observability only (bench byte accounting): record the literal
+        # pair set this pass fetches; adds no jobs — the collect above
+        # happens regardless
+        pairs_sink[0][pairs_sink[1]] = {t: sorted(bs) for t, bs in by_t.items()}
     if not by_t:
         return fallback.filter(F.lit(False))
     expr = None
@@ -441,6 +447,7 @@ def search_maxscore(
     debug_counts: dict | None = None,
     exact_floor: bool | None = None,
     strategy: str = "auto",
+    debug_pairs: dict | None = None,
 ) -> DataFrame:
     """Block-Max/MaxScore for query RELATIONS.
 
@@ -524,10 +531,20 @@ def search_maxscore(
     blocks = postings.filter(F.col("bucket").isin(buckets)).join(
         F.broadcast(qt.select("term_id").distinct()), "term_id", "left_semi"
     )
+    # The pruning passes below (champion selection, cover join, retain
+    # filter, and their driver collects) all run over block METADATA.
+    # Materialize that projection ONCE and persist it: without this,
+    # each pass re-scans the postings parquet (metadata column chunks
+    # plus per-file footers, 4-5x), which at the bench scale costs more
+    # bytes than the exhaustive payload read. The persisted relation is
+    # the query terms' block-summary working set — O(query postings /
+    # block_size) rows, executor-distributed, never driver-resident —
+    # i.e. exactly the metadata a block-max index keeps hot at scale.
+    meta = blocks.select(
+        "term_id", "block_id", "n", "first_doc_id", "last_doc_id", "block_max"
+    ).persist()
     # per-(query, block) metadata — no bytes, no decode
-    blocks_meta = blocks.select(
-        "term_id", "block_id", "first_doc_id", "last_doc_id", "block_max"
-    ).join(F.broadcast(qt), "term_id")
+    blocks_meta = meta.drop("n").join(F.broadcast(qt), "term_id")
 
     # ---- pass 1: champion-term floor ----------------------------------
     champ_w = Window.partitionBy("qid").orderBy(F.desc("ub"), F.asc("term_id"))
@@ -539,7 +556,7 @@ def search_maxscore(
     # block_max until their postings cover >= k docs — the metadata
     # window runs over champion-block rows only, the decode over
     # ~k/block_size blocks instead of the whole champion posting list
-    champ_meta = blocks.select("term_id", "block_id", "n", "block_max").join(
+    champ_meta = meta.select("term_id", "block_id", "n", "block_max").join(
         champ_keys, "term_id"
     )
     cum_w = (
@@ -560,6 +577,7 @@ def search_maxscore(
         fallback=blocks.join(
             F.broadcast(sel_pairs), ["term_id", "block_id"], "left_semi"
         ),
+        pairs_sink=(debug_pairs, "champion") if debug_pairs is not None else None,
     )
     champ_decoded = decode_blocks_df(champ_sel, gap_codec)
     champ_partials = champ_decoded.join(champ_keys, "term_id").select(
@@ -595,6 +613,7 @@ def search_maxscore(
             buckets,
             cover_sel,
             fallback=blocks.join(cover_sel, ["term_id", "block_id"], "left_semi"),
+            pairs_sink=(debug_pairs, "cover") if debug_pairs is not None else None,
         )
         cand_scores = (
             decode_blocks_df(cover_blocks, gap_codec)
@@ -640,6 +659,7 @@ def search_maxscore(
         buckets,
         retained_sel,
         fallback=blocks.join(retained_sel, ["term_id", "block_id"], "left_semi"),
+        pairs_sink=(debug_pairs, "retained") if debug_pairs is not None else None,
     )
     scored = (
         decode_blocks_df(retained_blocks, gap_codec)
