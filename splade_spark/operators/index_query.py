@@ -73,6 +73,37 @@ def buckets_for_queries(queries: DataFrame, n_buckets: int) -> list[int]:
     return sorted(int(r.b) for r in rows)
 
 
+def in_literals(col: str, vals) -> "F.Column":
+    """`col IN (...)` as ONE parsed SQL expression.
+
+    ``Column.isin(vals)`` makes a py4j round trip PER literal
+    (_create_column_from_literal) — measured 2.4s of serial driver
+    time for a 4096-term batch, over half the whole batch wall at
+    local[32] and a flat Amdahl floor at any cluster size. One
+    F.expr string is one round trip + a JVM-side parse (ms), and
+    compiles to the identical In predicate (same parquet pushdown).
+    Int-only by construction (term_id / block_id / bucket literals)."""
+    vs = sorted({int(v) for v in vals})
+    if not vs:
+        return F.lit(False)
+    return F.expr(f"{col} IN ({','.join(map(str, vs))})")
+
+
+def block_pairs_expr(by_term: dict) -> "F.Column":
+    """OR-of-(term_id = t AND block_id IN bs) disjunction as ONE
+    parsed SQL expression (see in_literals — a 20k-pair retained set
+    via Column ops is tens of thousands of py4j round trips)."""
+    parts = [
+        f"(term_id = {int(t)} AND block_id IN "
+        f"({','.join(str(int(b)) for b in sorted(bs))}))"
+        for t, bs in sorted(by_term.items())
+        if len(bs)
+    ]
+    if not parts:
+        return F.lit(False)
+    return F.expr(" OR ".join(parts))
+
+
 def load_term_dict(spark: SparkSession, index_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(index_dir, "term_dict"))
 
@@ -494,7 +525,7 @@ def _search_fused_docmajor(
     deployment uses, expressed as a Spark exchange."""
     postings = load_postings(spark, index_dir)
     pruned = postings.filter(
-        F.col("bucket").isin(buckets) & F.col("term_id").isin(hit_terms)
+        in_literals("bucket", buckets) & in_literals("term_id", hit_terms)
     )
     n_parts = max(spark.sparkContext.defaultParallelism * 2, 8)
     # ~2 doc shards per partition smooths the hash-placement Poisson
@@ -604,7 +635,7 @@ def search_fused(
 
     postings = load_postings(spark, index_dir)
     pruned = postings.filter(
-        F.col("bucket").isin(buckets) & F.col("term_id").isin(hit_terms)
+        in_literals("bucket", buckets) & in_literals("term_id", hit_terms)
     )
     partials = pruned.select(*_BLOCK_COLS).mapInPandas(
         make_score_kernel(q_arrs, gap_codec),

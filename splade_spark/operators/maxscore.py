@@ -36,8 +36,10 @@ from pyspark.sql import functions as F
 
 from splade_spark import SCORE_THRESHOLD, TOPK_DEFAULT
 from splade_spark.operators.index_query import (
+    block_pairs_expr,
     buckets_for_queries,
     decode_blocks_df,
+    in_literals,
     load_postings,
     load_stats,
     load_term_dict,
@@ -372,12 +374,9 @@ def search_maxscore_fused(
         # theta fallback retained everything — a per-term IN-list the
         # size of the whole block set buys nothing and bloats the
         # filter expression; the term semi-restriction is equivalent
-        keep_expr = F.col("term_id").isin(sorted(retained))
+        keep_expr = in_literals("term_id", retained)
     else:
-        keep_expr = None
-        for tid, bids in retained.items():
-            e = (F.col("term_id") == tid) & F.col("block_id").isin(sorted(bids))
-            keep_expr = e if keep_expr is None else (keep_expr | e)
+        keep_expr = block_pairs_expr(retained)
     from splade_spark.operators.index_query import (
         _BLOCK_COLS,
         load_postings,
@@ -385,7 +384,7 @@ def search_maxscore_fused(
     )
 
     postings = load_postings(spark, index_dir)
-    pruned = postings.filter(F.col("bucket").isin(buckets) & keep_expr)
+    pruned = postings.filter(in_literals("bucket", buckets) & keep_expr)
     partials = pruned.select(*_BLOCK_COLS).mapInPandas(
         make_score_kernel(q_arrs, gap_codec),
         schema="qid long, doc_id long, partial double",
@@ -431,11 +430,9 @@ def _literal_block_src(
         pairs_sink[0][pairs_sink[1]] = {t: sorted(bs) for t, bs in by_t.items()}
     if not by_t:
         return fallback.filter(F.lit(False))
-    expr = None
-    for t, bs in sorted(by_t.items()):
-        e = (F.col("term_id") == t) & F.col("block_id").isin(sorted(bs))
-        expr = e if expr is None else expr | e
-    return postings.filter(F.col("bucket").isin(buckets) & expr)
+    return postings.filter(
+        in_literals("bucket", buckets) & block_pairs_expr(by_t)
+    )
 
 
 def search_maxscore(
@@ -528,7 +525,7 @@ def search_maxscore(
     n_buckets = _stats["n_buckets"]
     gap_codec = _stats.get("gap_codec", "vbyte")
     buckets = buckets_for_queries(queries, n_buckets)
-    blocks = postings.filter(F.col("bucket").isin(buckets)).join(
+    blocks = postings.filter(in_literals("bucket", buckets)).join(
         F.broadcast(qt.select("term_id").distinct()), "term_id", "left_semi"
     )
     # The pruning passes below (champion selection, cover join, retain
