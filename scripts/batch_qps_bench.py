@@ -28,7 +28,7 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 WORKER_CODE = r"""
-import json, sys, tempfile, time
+import json, os, sys, tempfile, time
 sys.path.insert(0, {repo!r})
 from pyspark.sql import functions as F
 from splade_spark.session import get_spark
@@ -57,10 +57,17 @@ docs = spark.range(n_docs).select(
 ).repartition(cores * 4, "doc_id")
 
 from splade_spark.operators.index_build import build_index
-idx = tempfile.mkdtemp(prefix=f"qps_idx_{{cores}}_")
-t0 = time.time()
-build_index(docs, idx, n_segments=4, n_buckets=32)
-build_wall = time.time() - t0
+idx = {index_dir!r} or tempfile.mkdtemp(prefix=f"qps_idx_{{cores}}_")
+if os.path.exists(os.path.join(idx, "stats.json")):
+    # reuse a prior level's index: the postings layout is
+    # build-parallelism-independent (dictionary-driven range
+    # partitioning), so query timing is unaffected; build_wall is
+    # reported as 0 and the level measures QUERY scaling only
+    build_wall = 0.0
+else:
+    t0 = time.time()
+    build_index(docs, idx, n_segments=4, n_buckets=32)
+    build_wall = time.time() - t0
 
 # queries: {n_queries} driver-resident queries of {q_terms} terms each,
 # same hash family with different mixers (deterministic)
@@ -95,6 +102,7 @@ def run_level(cores: int, args) -> dict:
         tokens_per_doc=args.tokens_per_doc,
         n_queries=args.queries,
         q_terms=args.q_terms,
+        index_dir=args.index_dir,
     )
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores))
     out = subprocess.run(
@@ -119,6 +127,13 @@ def main() -> None:
     ap.add_argument("--queries", type=int, default=256)
     ap.add_argument("--q-terms", type=int, default=4)
     ap.add_argument("--levels", default="8,32")
+    ap.add_argument(
+        "--index-dir",
+        default="",
+        help="build the index here on first use and REUSE it across "
+        "levels (layout is build-parallelism-independent); empty = "
+        "fresh tmpdir per level (also measures build scaling)",
+    )
     args = ap.parse_args()
     levels = [int(x) for x in args.levels.split(",")]
     results = {c: run_level(c, args) for c in levels}

@@ -198,6 +198,32 @@ def main() -> None:
         buckets_for_queries(queries, load_stats(idx)["n_buckets"]),
         pairs,
     )
+    # SECOND accounting query, mid-df terms only: without the tf=8
+    # candidate docs, theta comes from ordinary top docs and the
+    # retained set is driven by BLOCK MAXIMA (the Block-Max mechanism
+    # proper) instead of collapsing to the blocks covering the 40
+    # candidate docs. This is the query whose byte profile is
+    # layout-SENSITIVE: under the clustered (docID-assigned) layout
+    # the high-max blocks are contiguous and row groups skip; under
+    # --scattered every row group holds a high-max block and no stats
+    # granularity can skip it.
+    q2 = spark.createDataFrame(
+        [(2, " ".join(f"t{j}" for j in range(n_terms)))], "qid long, text string"
+    )
+    counts2: dict = {}
+    pairs2: dict = {}
+    search_maxscore(
+        spark, idx, q2, k=10, debug_counts=counts2, debug_pairs=pairs2,
+        strategy="relation",
+    ).collect()
+    acct2 = rowgroup_accounting(
+        os.path.join(idx, "postings"),
+        buckets_for_queries(q2, load_stats(idx)["n_buckets"]),
+        pairs2,
+    )
+    t_ms2, _ = timed(
+        lambda: search_maxscore(spark, idx, q2, k=10, strategy="relation").collect()
+    )
     t_ms, r_ms = timed(
         lambda: search_maxscore(spark, idx, queries, k=10, strategy="relation").collect()
     )
@@ -241,6 +267,24 @@ def main() -> None:
                     / max(acct["exhaustive_rg_bytes"], 1),
                     4,
                 ),
+                "blockmax_query": {
+                    "blocks_kept": counts2["blocks_kept"],
+                    "kept_frac": round(
+                        counts2["blocks_kept"] / counts2["blocks_total"], 4
+                    ),
+                    "maxscore_best_s": round(t_ms2, 3),
+                    **acct2,
+                    "pruned_bytes_frac": round(
+                        acct2["pruned_total_rg_bytes"]
+                        / max(acct2["exhaustive_rg_bytes"], 1),
+                        4,
+                    ),
+                    "pruned_payload_bytes_frac": round(
+                        acct2["pruned_payload_rg_bytes"]
+                        / max(acct2["exhaustive_rg_bytes"], 1),
+                        4,
+                    ),
+                },
                 "lossless": True,
                 "cores": args.cores,
             }
