@@ -156,6 +156,20 @@ def main() -> None:
             for j in range(n_terms)
         ]
     )
+    # second mid-df family u0..u9 that the candidate docs do NOT
+    # carry: the block-max accounting query (u-terms only) gets its
+    # theta from ordinary docs, so its retained set is decided by
+    # BLOCK MAXIMA (dl skew) — the layout-sensitive mechanism — not
+    # by which blocks cover the 40 tf-heavy candidates. The u-terms
+    # CO-OCCUR (one membership hash for the family): MaxScore can only
+    # prune a multi-term query when its top docs carry all the terms
+    # (theta ~ total_ub); independent per-term membership leaves theta
+    # far below total_ub and nothing prunes — the phrase/entity
+    # co-occurrence structure real multi-term queries rely on
+    u_terms = F.when(
+        F.pmod(F.hash(F.col("id"), F.lit(100)), F.lit(2)) == 0,
+        F.lit(" " + " ".join(f"u{j}" for j in range(n_terms))),
+    ).otherwise(F.lit(""))
     if args.scattered:
         pad_n = F.lit(3) + ((F.col("id") % 4000) / 8).cast("int")
     else:
@@ -165,6 +179,7 @@ def main() -> None:
         F.concat(
             F.when(F.col("id") < args.n_rare, F.lit("rare")).otherwise(F.lit("x")),
             F.when(F.col("id") < args.n_rare, cand_terms).otherwise(mid_terms),
+            F.when(F.col("id") < args.n_rare, F.lit("")).otherwise(u_terms),
             F.repeat(F.lit(" pad"), pad_n),
         ).alias("text"),
     )
@@ -198,8 +213,8 @@ def main() -> None:
         buckets_for_queries(queries, load_stats(idx)["n_buckets"]),
         pairs,
     )
-    # SECOND accounting query, mid-df terms only: without the tf=8
-    # candidate docs, theta comes from ordinary top docs and the
+    # SECOND accounting query over the u-family (absent from the
+    # candidate docs): theta comes from ordinary top docs and the
     # retained set is driven by BLOCK MAXIMA (the Block-Max mechanism
     # proper) instead of collapsing to the blocks covering the 40
     # candidate docs. This is the query whose byte profile is
@@ -208,14 +223,21 @@ def main() -> None:
     # --scattered every row group holds a high-max block and no stats
     # granularity can skip it.
     q2 = spark.createDataFrame(
-        [(2, " ".join(f"t{j}" for j in range(n_terms)))], "qid long, text string"
+        [(2, " ".join(f"u{j}" for j in range(n_terms)))], "qid long, text string"
     )
     counts2: dict = {}
     pairs2: dict = {}
-    search_maxscore(
+    r2_pruned = search_maxscore(
         spark, idx, q2, k=10, debug_counts=counts2, debug_pairs=pairs2,
         strategy="relation",
     ).collect()
+    # losslessness asserted for BOTH queries (this one caught the
+    # uniform-candidate knife edge: retained=0 at 6M docs before the
+    # PRUNE_EPS slack)
+    r2_ex = search(spark, idx, q2, k=10).collect()
+    assert {(r.doc_id, r.score) for r in r2_pruned} == {
+        (r.doc_id, r.score) for r in r2_ex
+    }, "blockmax query pruned result diverged from exhaustive"
     acct2 = rowgroup_accounting(
         os.path.join(idx, "postings"),
         buckets_for_queries(q2, load_stats(idx)["n_buckets"]),

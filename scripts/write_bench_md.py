@@ -197,7 +197,14 @@ def main() -> None:
             "can't fire there. `scripts/maxscore_prune_bench.py` builds a",
             "corpus with the skew pruning exploits (doc-length variation +",
             "tf-heavy candidate docs — the BM25 analog of SPLADE's",
-            "impact-weight skew) and runs one 11-term query. `search_maxscore`",
+            "impact-weight skew) and runs TWO queries: the timed 11-term",
+            "query (rare champion + 10 mid-df terms; its retained set",
+            "collapses to the blocks covering the tf-heavy candidate docs)",
+            "and a 10-term block-max query without the champion, whose",
+            "retained set is driven by BLOCK MAXIMA — the layout-sensitive",
+            "mechanism. Both are asserted lossless vs exhaustive on every",
+            "run (the block-max query caught a knife-edge retain bug:",
+            "PRUNE_EPS in operators/maxscore.py). `search_maxscore`",
             "is forced onto the all-DataFrame plan (strategy='relation');",
             "with strategy='auto' a 1-query relation would delegate to the",
             "fused row.",
@@ -263,6 +270,34 @@ def main() -> None:
                 + " | ".join(
                     f"{pr['pruned_meta_rg_bytes']:,}"
                     f" (total {pr['pruned_bytes_frac']:.1%})"
+                    for pr in prs
+                )
+                + " |"
+            )
+        if all("blockmax_query" in pr for pr in prs):
+            lines.append(
+                "| block-max query: blocks kept | "
+                + " | ".join(
+                    f"{pr['blockmax_query']['blocks_kept']:,}"
+                    f" ({pr['blockmax_query']['kept_frac']:.2%})"
+                    for pr in prs
+                )
+                + " |"
+            )
+            lines.append(
+                "| block-max query: row groups surviving retained pass | "
+                + " | ".join(
+                    f"{pr['blockmax_query']['rg_survived']['retained']:,}"
+                    f" of {pr['blockmax_query']['rg_count']:,}"
+                    for pr in prs
+                )
+                + " |"
+            )
+            lines.append(
+                "| block-max query: pruned payload bytes | "
+                + " | ".join(
+                    f"**{pr['blockmax_query']['pruned_payload_rg_bytes']:,}**"
+                    f" ({pr['blockmax_query']['pruned_payload_bytes_frac']:.1%})"
                     for pr in prs
                 )
                 + " |"

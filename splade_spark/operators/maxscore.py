@@ -52,6 +52,21 @@ from splade_spark.operators.retrieval import query_terms, topk_window
 # driver-side metadata)
 FUSED_DELEGATE_LIMIT = 4096
 
+# slack on the block-retain inequality `block_ub >= theta - PRUNE_EPS`.
+# Final scores are rounded to 6dp and ties break by doc_id, so a doc
+# whose TRUE score is within ~1e-6 of theta can round into a tie with
+# the k-th candidate and win the tiebreak — it must keep its blocks.
+# The same slack absorbs float-summation order: theta (sum of decoded
+# impacts per doc) and total_ub (sum of dictionary maxima) add the
+# same values in different orders, so on a corpus of identically
+# scored candidates theta can land ULPs ABOVE every block UB and a
+# strict >= would retain NOTHING (caught by the prune bench's
+# uniform-candidate fixture: retained=0 at 6M docs). Retaining more
+# is always lossless; 1.5x the rounding step covers the half-ulp
+# round-to-even boundary. BMP's certificate carries the same slop
+# (operators/bmp.py).
+PRUNE_EPS = 1.5e-6
+
 
 def search_maxscore_fused(
     spark: SparkSession,
@@ -313,7 +328,7 @@ def search_maxscore_fused(
     total_blocks = 0
     for qid, rows in q_plan.items():
         total_ub = sum(r[2] for r in rows)
-        th = theta.get(qid, threshold)
+        th = theta.get(qid, threshold) - PRUNE_EPS
         for tid, q_tf, ub in rows:
             tm = by_term.get(tid)
             if tm is None:
@@ -639,7 +654,8 @@ def search_maxscore(
             "block_ub",
             F.col("total_ub") - F.col("ub") + F.col("q_tf") * F.col("block_max"),
         )
-        .filter(F.col("block_ub") >= F.col("theta"))
+        # PRUNE_EPS: rounding-tie + float-summation slack, see constant
+        .filter(F.col("block_ub") >= F.col("theta") - F.lit(PRUNE_EPS))
         .select("qid", "term_id", "block_id", "q_tf")
     )
     if debug_counts is not None:

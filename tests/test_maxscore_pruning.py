@@ -209,3 +209,66 @@ def test_cheap_theta_mode_lossless_and_prunes_single_term(spark, skewed_index):
     # the common term's low-dl docs concentrate its high impacts in few
     # blocks; the rest prune against the champion-partial floor
     assert counts["blocks_kept"] / counts["blocks_total"] < 0.5, counts
+
+
+def test_uniform_candidates_knife_edge_lossless(spark, tmp_path_factory):
+    """Identically-scored top candidates put theta EXACTLY at the best
+    block UB: theta (per-doc sum of decoded impacts) and total_ub (sum
+    of dictionary maxima) add the same floats in different orders, so
+    a strict `block_ub >= theta` can land ULPs short and retain ZERO
+    blocks — returning an empty top-k (caught live by the prune
+    bench's ramp fixture at 6M docs: retained=0). PRUNE_EPS slack must
+    keep this lossless on both MaxScore paths."""
+    from splade_spark.operators.maxscore import search_maxscore_fused
+
+    idx = str(tmp_path_factory.mktemp("knife_idx"))
+    n_terms = 5
+    cand = " ".join(f"t{j}" for j in range(n_terms))
+    docs = spark.range(4_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            # 64 byte-identical candidate docs (same tf, same dl ->
+            # identical scores), then filler docs with varying dl
+            F.when(F.col("id") < 64, F.lit((cand + " ") * 4)).otherwise(
+                F.concat(
+                    F.lit(cand + " "),
+                    F.repeat(F.lit("pad "), (F.col("id") / 40).cast("int") + 1),
+                )
+            ),
+        ).alias("text"),
+    )
+    build_index(docs, idx, n_segments=2)
+    queries = spark.createDataFrame([(1, cand)], "qid long, text string")
+    want = {
+        (r.doc_id, r.score, r.rank)
+        for r in search(spark, idx, queries, k=10).collect()
+    }
+    assert len(want) >= 10
+    got_rel = search_maxscore(
+        spark, idx, queries, k=10, strategy="relation"
+    ).collect()
+    assert {(r.doc_id, r.score, r.rank) for r in got_rel} == want
+    got_fused = search_maxscore_fused(
+        spark, idx, [(1, cand)], k=10
+    ).collect()
+    assert {(r.doc_id, r.score, r.rank) for r in got_fused} == want
+
+
+def test_prune_eps_covers_summation_order():
+    """The mechanism behind the knife edge, deterministically: theta
+    sums a doc's decoded impacts in aggregation order, total_ub sums
+    the same values in dictionary order — float addition is not
+    associative, so theta can exceed every block UB by ULPs on a
+    corpus whose top-k candidates all tie. The retain inequality must
+    absorb at least that divergence (PRUNE_EPS >> ULP), and PRUNE_EPS
+    must also cover the 6dp score-rounding tie window (a doc 1e-6
+    below theta can round into a tie and win the doc_id tiebreak)."""
+    from splade_spark.operators.maxscore import PRUNE_EPS
+
+    impacts = [0.1, 0.2, 0.3]          # classic non-associative triple
+    theta = impacts[0] + impacts[1] + impacts[2]      # 0.6000000000000001
+    total_ub = impacts[2] + impacts[1] + impacts[0]   # 0.6
+    best_block_ub = total_ub  # candidate's own block: block_max == ub term
+    assert theta > best_block_ub  # strict >= would retain NOTHING
+    assert best_block_ub >= theta - PRUNE_EPS
+    assert PRUNE_EPS >= 1e-6  # rounding-tie window at 6dp
