@@ -17,12 +17,16 @@ full-table scan both reported byte-identical totals on a 5.7 MB
 table), so it cannot distinguish a pruned scan from an exhaustive
 one.
 
-Row groups are written at --rowgroup-kb (default 16 KB) instead of
-the production 8 MB so the bench reproduces the at-scale shape — a
+The ACCOUNTING runs against a second build of the same corpus whose
+row groups are written at --rowgroup-kb (default 16 KB) instead of
+the production 8 MB, so the bench reproduces the at-scale shape — a
 hot term's posting list spanning MANY row groups (at 10^12 docs a
 stopword term spans thousands of 8 MB groups; at 6M docs it would
 fit in one, and no within-term skipping would be measurable at any
-granularity).
+granularity). All TIMED searches run on the production-layout build
+(tiny row groups would inflate the driver metadata passes that the
+fused planner pays). The pair sets are logical (term_id, block_id),
+identical across the two physical layouts.
 
 Two docID layouts:
   default (clustered): doc length ramps monotonically with doc_id —
@@ -131,7 +135,6 @@ def main() -> None:
     from splade_spark.operators.maxscore import search_maxscore
     from splade_spark.session import get_spark
 
-    index_build.POSTINGS_ROWGROUP_BYTES = args.rowgroup_kb * 1024
     spark = get_spark(app="maxscore-prune-bench", cores=args.cores)
 
     # SPLADE-shaped query load: 10 mid-df terms (each in ~half the
@@ -183,10 +186,23 @@ def main() -> None:
             F.repeat(F.lit(" pad"), pad_n),
         ).alias("text"),
     )
+    # TWO builds of the same corpus: `idx` keeps the production 8 MB
+    # row groups and serves every TIMED search (driver metadata passes
+    # cost what they cost in production); `idx_acct` is written with
+    # --rowgroup-kb groups purely for the byte ACCOUNTING, emulating
+    # the at-scale rgs-per-term ratio. Retained/cover/champion pair
+    # sets are logical (term_id, block_id) — identical across the two
+    # physical layouts — so pairs collected on `idx` replay exactly
+    # against `idx_acct`'s footers.
     idx = tempfile.mkdtemp(prefix="prune_bench_")
     t0 = time.time()
     build_index(docs, idx, n_segments=4)
     build_s = time.time() - t0
+    saved_rg = index_build.POSTINGS_ROWGROUP_BYTES
+    index_build.POSTINGS_ROWGROUP_BYTES = args.rowgroup_kb * 1024
+    idx_acct = tempfile.mkdtemp(prefix="prune_bench_acct_")
+    build_index(docs, idx_acct, n_segments=4)
+    index_build.POSTINGS_ROWGROUP_BYTES = saved_rg
 
     qtext = "rare " + " ".join(f"t{j}" for j in range(n_terms))
     queries = spark.createDataFrame([(1, qtext)], "qid long, text string")
@@ -209,7 +225,7 @@ def main() -> None:
         strategy="relation",
     ).collect()
     acct = rowgroup_accounting(
-        os.path.join(idx, "postings"),
+        os.path.join(idx_acct, "postings"),
         buckets_for_queries(queries, load_stats(idx)["n_buckets"]),
         pairs,
     )
@@ -239,7 +255,7 @@ def main() -> None:
         (r.doc_id, r.score) for r in r2_ex
     }, "blockmax query pruned result diverged from exhaustive"
     acct2 = rowgroup_accounting(
-        os.path.join(idx, "postings"),
+        os.path.join(idx_acct, "postings"),
         buckets_for_queries(q2, load_stats(idx)["n_buckets"]),
         pairs2,
     )
