@@ -72,10 +72,16 @@ build_wall = min(build_walls)
 qrows = derive_queries(load_documents(spark, {sf_dir!r})).orderBy("qid").limit({n_queries}).collect()
 queries = spark.createDataFrame(qrows, "qid long, text string")
 n_q = len(qrows)
-t0 = time.time()
-search_fused(spark, index_dir, [(r.qid, r.text) for r in qrows],
-             k=1000).write.format("noop").mode("overwrite").save()
-batch_wall = time.time() - t0
+# best-of-2: the first batch also pays whole-stage-codegen JIT and
+# python-worker spawn, which varies with how warm the build left the
+# JVM (shorter builds at higher core counts warm it less)
+batch_walls = []
+for _ in range(2):
+    t0 = time.time()
+    search_fused(spark, index_dir, [(r.qid, r.text) for r in qrows],
+                 k=1000).write.format("noop").mode("overwrite").save()
+    batch_walls.append(time.time() - t0)
+batch_wall = min(batch_walls)
 
 # single-query latency (reference runs batch_size=1, evaluate.py:140):
 # exhaustive fused AND the Block-Max-pruned fused path (whose driver

@@ -98,8 +98,10 @@ def main() -> None:
         "(doc_id = orig*rep + r, text unchanged) = "
         f"{levels[keys[0]]['n_docs']:,} docs, so the job is compute-bound,",
         "not overhead-bound. Harness: `scripts/scaling_bench.py` (fresh",
-        "subprocess per level; full segment build + finalize; batch retrieval",
-        "k=1000; 12 sequential single-query runs for latency).",
+        "subprocess per level; full segment build + finalize, best-of-2;",
+        "batch retrieval k=1000, best-of-2 — the first batch also pays",
+        "codegen JIT + python-worker spawn; 12 sequential single-query",
+        "runs for latency).",
         "",
         "| metric | " + " | ".join(f"local[{c}]" for c in keys) + " |",
         "|---|" + "---|" * len(keys),

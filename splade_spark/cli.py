@@ -60,6 +60,32 @@ def cmd_append(args) -> None:
     )
 
 
+def cmd_drain(args) -> None:
+    """Continuous-ingestion step: drain newly arrived parquet files
+    from an inbox into stream segments and (unless deferred by
+    --min-drain-frac) re-finalize — the streaming twin of `append`.
+    Exactly-once via the stream checkpoint; resumable at any point."""
+    from splade_spark.streaming.incremental import stream_append
+
+    spark = _spark(args)
+    t0 = time.time()
+    n = stream_append(
+        spark,
+        args.inbox,
+        args.index_dir,
+        min_drain_frac=args.min_drain_frac,
+    )
+    print(
+        json.dumps(
+            {
+                "cmd": "drain",
+                "segments_drained": n,
+                "wall_sec": round(time.time() - t0, 3),
+            }
+        )
+    )
+
+
 def cmd_index(args) -> None:
     from splade_spark.operators.index_build import build_index
     from splade_spark.sources.pages import load_table
@@ -232,6 +258,19 @@ def main(argv=None) -> None:
     )
     pa.add_argument("--cores", type=int)
 
+    pdr = sub.add_parser("drain")
+    pdr.add_argument("--inbox", required=True, help="parquet inbox dir")
+    pdr.add_argument("--index-dir", required=True)
+    pdr.add_argument(
+        "--min-drain-frac",
+        type=float,
+        default=0.0,
+        help="defer the re-finalize until pending docs exceed this "
+        "fraction of the indexed corpus (0 = always re-finalize; see "
+        "BENCH drain-frequency economics)",
+    )
+    pdr.add_argument("--cores", type=int)
+
     pq = sub.add_parser("query")
     pq.add_argument("--index-dir", required=True)
     pq.add_argument("--queries", required=True, help="tsv (qid\\ttext) or parquet")
@@ -273,6 +312,7 @@ def main(argv=None) -> None:
     {
         "index": cmd_index,
         "append": cmd_append,
+        "drain": cmd_drain,
         "query": cmd_query,
         "export-pisa": cmd_export_pisa,
         "describe": cmd_describe,

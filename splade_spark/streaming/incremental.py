@@ -81,6 +81,7 @@ def stream_append(
     index_dir: str,
     schema: str = "doc_id long, text string",
     max_files_per_trigger: int | None = None,
+    min_drain_frac: float = 0.0,
 ) -> int:
     """One continuous-ingestion step: drain newly arrived files into
     stream-epoch segments, then bring the FINALIZED index up to date —
@@ -93,12 +94,26 @@ def stream_append(
     of NEW segments drained (0 = nothing arrived and the index was
     already finalized — a no-op).
 
+    ``min_drain_frac`` is the drain-economics knob (measured in
+    BENCH/BASELINE.md: the re-finalize costs ~a rebuild regardless of
+    drain size, because BM25 stats are global): when the serving index
+    is complete and the PENDING docs (drained into committed segments
+    but not yet covered by a finalize) are under ``min_drain_frac`` of
+    the indexed corpus, the re-finalize is deferred — segments
+    accumulate durably, queries keep serving the last snapshot, and a
+    later call (or a ``min_drain_frac=0`` flush) folds the backlog in
+    one finalize. Deferral never applies to an INCOMPLETE finalize —
+    that is always repaired.
+
     Resumable at every point: the stream checkpoint makes file
-    processing exactly-once, segment commits skip on replay, the
-    retract records once per drain, and a kill between retract and
-    finalize completion is repaired on the next call (no new files is
-    NOT an early exit while finalize is incomplete). Doc-id
-    disjointness across input files is the ingest contract.
+    processing exactly-once, and segment commits skip on replay.
+    Staleness is decided by COVERAGE, not by what this call drained:
+    pending = (sum of committed segment rows) - (docs covered by
+    stats.json), so a finalize that predates ANY committed segment —
+    complete-but-stale after a deferral, or partial from a mid-drain
+    crash — retracts and re-runs, while a partial finalize that
+    already covers every segment resumes its remaining sub-steps.
+    Doc-id disjointness across input files is the ingest contract.
     """
     import json
 
@@ -109,13 +124,18 @@ def stream_append(
     )
     man = Manifest.load(index_dir)
     finalize_done = man.committed("finalize")
-    if n_new == 0 and "index" in finalize_done:
-        return 0
+    seg_rows = sum(
+        max(int(s.get("rows", 0)), 0)
+        for s in man.lineage_rows()
+        if s["stage"] == "segment"
+    )
     stats_path = os.path.join(index_dir, "stats.json")
     kwargs: dict = {}
+    covered_rows = 0
     if os.path.exists(stats_path):
         with open(stats_path) as f:
             prior = json.load(f)
+        covered_rows = int(prior.get("n_docs", 0))
         from splade_spark.functions.codec import BLOCK_SIZE
         from splade_spark.operators.index_build import (
             DEFAULT_BUCKETS,
@@ -129,16 +149,21 @@ def stream_append(
             "gap_codec": prior.get("gap_codec", "vbyte"),
             "store_impacts": bool(prior.get("store_impacts", True)),
         }
-    if n_new > 0 and finalize_done:
-        # ANY committed finalize sub-step predates the segments just
-        # drained (stream_build_segments runs first in this function),
-        # so a PARTIAL finalize left by a mid-drain crash must retract
-        # too: resuming it would skip stats/term_dict computed without
-        # the new docs and silently drop them from the index. The
-        # derived bmp tables go first — a crash between the two re-runs
-        # this block (retract is recorded last); next drain re-retracts.
-        invalidate_bmp(index_dir, man, reason=f"stream-append:{n_new}")
-        man.retract("finalize", reason=f"stream-append:{n_new}")
+    pending_rows = max(seg_rows - covered_rows, 0)
+    if "index" in finalize_done:
+        if pending_rows == 0:
+            return n_new  # serving index already covers every segment
+        if pending_rows < min_drain_frac * max(covered_rows, 1):
+            return n_new  # defer: backlog below the economics threshold
+    if finalize_done and pending_rows > 0:
+        # committed finalize sub-steps predate some committed segment
+        # (stale-complete after a deferral, or partial from a mid-drain
+        # crash): resuming would skip stats/term_dict computed without
+        # those docs and silently drop them from the index. The derived
+        # bmp tables go first — a crash between the two re-runs this
+        # block (retract is recorded last); the next call re-retracts.
+        invalidate_bmp(index_dir, man, reason=f"stream-append:{pending_rows}")
+        man.retract("finalize", reason=f"stream-append:{pending_rows}")
     finalize_index(spark, index_dir, **kwargs)
     return n_new
 

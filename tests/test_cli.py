@@ -75,3 +75,29 @@ def test_cli_export_pisa(spark, tmp_path, capsys):
     back = read_pisa_index(prefix)
     assert back["n_docs"] == 500
     assert sum(back["sizes"]) == out["n_postings"]
+
+
+def test_cli_drain(spark, tmp_path, capsys):
+    """`drain` = stream_append behind the CLI: inbox files fold into a
+    finalized index; --min-drain-frac defers the re-finalize."""
+    from splade_spark import cli
+    from splade_spark.sources.pages import load_documents
+
+    docs = load_documents(spark, "/root/testdata/sf0.001")
+    idx = str(tmp_path / "didx")
+    from splade_spark.operators.index_build import build_index
+
+    build_index(docs.filter("doc_id % 2 = 0"), idx, n_segments=2, n_buckets=8)
+    inbox = str(tmp_path / "dinbox")
+    docs.filter("doc_id % 2 = 1").write.mode("overwrite").parquet(inbox)
+
+    # tiny threshold satisfied (half the corpus pending) -> finalizes
+    cli.main(["drain", "--inbox", inbox, "--index-dir", idx,
+              "--min-drain-frac", "0.25"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["segments_drained"] > 0
+
+    # nothing new -> covered no-op
+    cli.main(["drain", "--inbox", inbox, "--index-dir", idx])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["segments_drained"] == 0

@@ -177,3 +177,63 @@ def test_stream_append_repairs_crashed_drain_with_new_files(spark, tmp_path, mon
         .toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
     )
     assert got.equals(want)
+
+
+def test_stream_append_defers_small_drains_then_flushes(spark, tmp_path):
+    """min_drain_frac: a drain below the threshold accumulates durable
+    segments but leaves the serving snapshot untouched (visibility
+    lag, the drain-economics knob from BENCH); a later flush
+    (min_drain_frac=0) folds the whole backlog into one finalize that
+    equals a full rebuild over the union."""
+    from splade_spark.operators.index_build import build_index
+    from splade_spark.operators.index_query import search
+    from splade_spark.sources.pages import load_documents
+    from splade_spark.streaming.incremental import stream_append
+    from splade_spark.synth import derive_queries
+
+    from tests.conftest import SF_SMOKE
+
+    docs = load_documents(spark, SF_SMOKE)
+    part_a = docs.filter("doc_id % 3 != 0")
+    part_b = docs.filter("doc_id % 3 = 0")
+
+    idx = str(tmp_path / "defer_idx")
+    build_index(part_a, idx, n_segments=2, n_buckets=8)
+    queries = derive_queries(docs)
+    before = (
+        search(spark, idx, queries, k=10)
+        .toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    )
+
+    # part_b is ~1/3 of the corpus — far below a 0.9 threshold, so the
+    # drain commits segments but defers the re-finalize
+    inbox = str(tmp_path / "defer_inbox")
+    part_b.repartition(2).write.mode("overwrite").parquet(inbox)
+    n = stream_append(spark, inbox, idx, min_drain_frac=0.9)
+    assert n > 0
+    deferred = (
+        search(spark, idx, queries, k=10)
+        .toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    )
+    assert deferred.equals(before)  # still serving the old snapshot
+
+    # flush: no new files (n == 0) but the pending backlog must fold in
+    assert stream_append(spark, inbox, idx, min_drain_frac=0.0) == 0
+    full_idx = str(tmp_path / "defer_full_idx")
+    build_index(docs, full_idx, n_segments=2, n_buckets=8)
+    want = (
+        search(spark, full_idx, queries, k=10)
+        .toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    )
+    got = (
+        search(spark, idx, queries, k=10)
+        .toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    )
+    assert got.equals(want)
+
+    # and a repeat call stays a covered no-op
+    assert stream_append(spark, inbox, idx, min_drain_frac=0.9) == 0
+    assert (
+        search(spark, idx, queries, k=10)
+        .toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    ).equals(want)
