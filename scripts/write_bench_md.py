@@ -134,10 +134,10 @@ def main() -> None:
             "batch and single-query rows above measure. Its one exchange",
             "moves ~12 bytes/posting for EVERY posting of the batch's",
             "terms — ~1.5 GB here (124M postings) — so the dense batch is",
-            "shuffle-bandwidth-bound and flat from local[8] to local[32]",
-            "(single-writer page-cache bandwidth does not grow with",
-            "cores; on a real cluster the exchange fans out across",
-            "machines' disks/NICs instead). The selective-vocabulary",
+            "heavily shuffle-bandwidth-bound: 8->32 cores buys 1.37x, not",
+            "4x (page-cache shuffle bandwidth grows little with cores; on",
+            "a real cluster the exchange fans out across machines'",
+            "disks/NICs instead). The selective-vocabulary",
             "section below is the honest q/s number",
             "for sparse-match workloads.)",
         ]
