@@ -259,6 +259,19 @@ def q_token_counts(spark, sf_dir):
     return textstats.token_counts(load_documents(spark, sf_dir))
 
 
+def q_docid_reassign(spark, sf_dir):
+    """Quality/length-ordered docID reassignment (operators/docids.py):
+    dense new ids in (length(text), doc_id) order — the ingest-side
+    layout step whose pruning-byte effect BENCH/BASELINE.md measures
+    (clustered vs scattered). Scale-safe: range-partitioned sort +
+    per-partition offsets, never a global single-task window."""
+    from splade_spark.operators.docids import reassign_doc_ids
+
+    return reassign_doc_ids(load_documents(spark, sf_dir)).select(
+        "new_doc_id", "doc_id"
+    )
+
+
 def q_quality(spark, sf_dir):
     return textstats.quality_scores(load_documents(spark, sf_dir))
 
@@ -525,6 +538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "token_counts": q_token_counts,
+        "docid_reassign": q_docid_reassign,
         "quality_scores": q_quality,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
@@ -586,6 +600,7 @@ def oracle_sql() -> dict[str, str]:
             max_hamming=3, where=PAIR_WHERE
         ),
         "token_counts": sql_oracle.TOKEN_COUNTS_SQL,
+        "docid_reassign": sql_oracle.DOCID_REASSIGN_SQL,
         "quality_scores": sql_oracle.QUALITY_SQL,
         "lang_id": sql_oracle.LANG_ID_SQL,
         "fingerprints": sql_oracle.FINGERPRINTS_SQL,

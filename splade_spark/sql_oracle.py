@@ -1106,3 +1106,13 @@ SELECT doc_id AS media_id,
        md5(text || CAST(i AS VARCHAR)) AS frame_hash
 FROM documents, LATERAL unnest(generate_series(0, {n_frames - 1})) t(i)
 """
+
+# Quality/length-ordered docID reassignment (operators/docids.py):
+# the oracle is the one-window formulation; the Spark side computes
+# the SAME total order via range-partitioned sort + per-partition
+# offsets because a global row_number window is a single task
+DOCID_REASSIGN_SQL = """
+SELECT ROW_NUMBER() OVER (ORDER BY length(text), doc_id) - 1 AS new_doc_id,
+       doc_id
+FROM documents
+"""
