@@ -87,6 +87,10 @@ def cmd_drain(args) -> None:
 
 
 def cmd_index(args) -> None:
+    import os
+
+    from pyspark.sql import functions as F
+
     from splade_spark.operators.index_build import build_index
     from splade_spark.sources.pages import load_table
 
@@ -95,9 +99,25 @@ def cmd_index(args) -> None:
         docs = spark.read.parquet(args.input)
     else:
         docs = load_table(spark, args.input, args.table)
+    docs = docs.select("doc_id", "text")
     t0 = time.time()
+    if args.reassign:
+        # quality-ordered docID assignment (operators/docids.py): hot
+        # blocks cluster so Block-Max-pruned scans skip row groups
+        # (BENCH layout contrast); the (doc_id, orig_doc_id) remap
+        # dimension is persisted beside the index for result mapping
+        from splade_spark.operators.docids import reassign_doc_ids
+
+        re = reassign_doc_ids(docs)
+        re.select(
+            F.col("new_doc_id").alias("doc_id"),
+            F.col("doc_id").alias("orig_doc_id"),
+        ).write.mode("overwrite").parquet(
+            os.path.join(args.index_dir, "docid_remap")
+        )
+        docs = re.select(F.col("new_doc_id").alias("doc_id"), "text")
     man = build_index(
-        docs.select("doc_id", "text"),
+        docs,
         args.index_dir,
         n_segments=args.segments,
         n_buckets=args.buckets,
@@ -153,6 +173,26 @@ def cmd_query(args) -> None:
     else:
         fn = search_maxscore if args.prune else search
         run = fn(spark, args.index_dir, queries, k=args.k)
+    if args.remap:
+        import os
+
+        from pyspark.sql import functions as F
+
+        remap_dir = os.path.join(args.index_dir, "docid_remap")
+        if not os.path.exists(remap_dir):
+            raise SystemExit(
+                "--remap: no docid_remap dimension beside this index "
+                "(build it with `index --reassign`)"
+            )
+        # the remap dimension is corpus-sized — broadcast the RUN
+        # (queries x k rows), never the dimension
+        remap = spark.read.parquet(remap_dir)
+        run = (
+            remap.join(F.broadcast(run), "doc_id")
+            .drop("doc_id")
+            .withColumnRenamed("orig_doc_id", "doc_id")
+            .select("qid", "doc_id", "score", "rank")
+        )
     if args.out:
         write_trec_run(run, args.out)
         n = spark.read.text(args.out).count()
@@ -237,6 +277,9 @@ def main(argv=None) -> None:
     pi.add_argument("--input", required=True, help="parquet path or sf dir")
     pi.add_argument("--table", default="documents")
     pi.add_argument("--index-dir", required=True)
+    pi.add_argument("--reassign", action="store_true",
+                    help="quality-ordered docID reassignment before "
+                    "indexing (writes docid_remap beside the index)")
     pi.add_argument("--segments", type=int, default=4)
     pi.add_argument("--buckets", type=int, default=32)
     pi.add_argument(
@@ -291,6 +334,9 @@ def main(argv=None) -> None:
         action="store_true",
         help="doc-partitioned block-max (BMP) block-at-a-time search",
     )
+    pq.add_argument("--remap", action="store_true",
+                    help="map results back to original doc ids via "
+                    "the docid_remap dimension (index --reassign)")
     pq.add_argument("--out", help="TREC run output dir")
     pq.add_argument("--cores", type=int)
 

@@ -101,3 +101,38 @@ def test_cli_drain(spark, tmp_path, capsys):
     cli.main(["drain", "--inbox", inbox, "--index-dir", idx])
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["segments_drained"] == 0
+
+
+def test_cli_index_reassign_query_remap(spark, tmp_path, capsys):
+    """index --reassign writes the docid_remap dimension and indexes
+    quality-ordered ids; query --remap maps results back so the run
+    matches an index built on the original ids."""
+    from splade_spark import cli
+
+    qtsv = tmp_path / "rq.tsv"
+    qtsv.write_text("1\tthe fast key\n2\tspark table\n")
+
+    idx_r = str(tmp_path / "re_idx")
+    cli.main(["index", "--input", "/root/testdata/sf0.001",
+              "--index-dir", idx_r, "--segments", "2", "--reassign"])
+    out_r = str(tmp_path / "run_re")
+    cli.main(["query", "--index-dir", idx_r, "--queries", str(qtsv),
+              "--k", "10", "--remap", "--out", out_r])
+    capsys.readouterr()
+
+    idx_o = str(tmp_path / "orig_idx")
+    cli.main(["index", "--input", "/root/testdata/sf0.001",
+              "--index-dir", idx_o, "--segments", "2"])
+    out_o = str(tmp_path / "run_orig")
+    cli.main(["query", "--index-dir", idx_o, "--queries", str(qtsv),
+              "--k", "10", "--out", out_o])
+    capsys.readouterr()
+
+    a = set(spark.read.text(out_r).toPandas()["value"])
+    b = set(spark.read.text(out_o).toPandas()["value"])
+    # TREC lines carry (qid, doc_id, score) — rank may differ on ties,
+    # so compare the (qid, doc, score) triples
+    strip = lambda lines: {
+        tuple(x.split()[i] for i in (0, 2, 4)) for x in lines
+    }
+    assert strip(a) == strip(b)
