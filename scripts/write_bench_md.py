@@ -343,18 +343,21 @@ def main() -> None:
             "",
             "Timed rows run on the production 8 MB-row-group build (the",
             "accounting build's tiny groups would inflate the fused",
-            "planner's driver metadata passes). The two pruned plans cross",
-            "over with corpus size: at 1.5M the FUSED path's driver-side",
-            "passes win outright (~2.7x over exhaustive fused) while the",
-            "all-DataFrame plan's ~4-job fixed floor (bucket literals,",
-            "champion selection, retained-pair collect, final pruned scan)",
-            "keeps it near exhaustive parity; at 6M the driver metadata",
-            "passes grow with the corpus and the RELATION plan — whose",
-            "per-pass work is cluster-distributed over the persisted block",
-            "metadata — pulls ahead of exhaustive (the at-scale shape).",
-            "Small query relations still delegate to the fused planner",
-            "(strategy='auto'), whose driver fast path answers",
-            "sub-256-block retained sets with zero cluster jobs.",
+            "planner's driver metadata passes). The FUSED path wins",
+            "outright at both sizes (2.4-2.9x over exhaustive fused): its",
+            "driver-side passes stay metadata-scale — the summed guard",
+            "admits up to ~1M block-metadata rows (~40 MB Arrow) before",
+            "falling back, with the per-term cap as the true skew guard",
+            "(a 10^12-doc stopword is ~10^8 blocks and never",
+            "materializes). The all-DataFrame RELATION plan pays a ~4-job",
+            "fixed floor (bucket literals, champion selection,",
+            "retained-pair collect, final pruned scan) that keeps it near",
+            "exhaustive parity at 1.5M; by 6M it pulls ahead of",
+            "exhaustive (persisted block metadata, literal pruned scan) —",
+            "the cluster path's at-scale shape. Small query relations",
+            "still delegate to the fused planner (strategy='auto'), whose",
+            "driver fast path answers sub-256-block retained sets with",
+            "zero cluster jobs.",
             "",
         ]
 

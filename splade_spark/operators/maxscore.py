@@ -169,9 +169,16 @@ def search_maxscore_fused(
             dict_tbl.column("term").to_pylist(), dict_tbl.column("df").to_pylist()
         )
     }
+    # summed cap: 20x the per-term limit = ~1M block-metadata rows,
+    # ~40 MB as Arrow — still metadata-scale on any driver. (The
+    # per-term cap is the skew guard: one stopword at 10^12 docs is
+    # ~10^8 blocks and must never materialize. The old 4x summed cap
+    # was so conservative that an ordinary 11-term query over a 6M-doc
+    # corpus fell back to exhaustive scoring while its true retained
+    # set was 11 blocks.)
     if blocks_est and (
         max(blocks_est.values()) > champion_block_limit
-        or sum(blocks_est.values()) > 4 * champion_block_limit
+        or sum(blocks_est.values()) > 20 * champion_block_limit
     ):
         return search_fused(spark, index_dir, query_rows, k, threshold)
     # per query: [(term_id, q_tf, ub)], champion, total_ub
