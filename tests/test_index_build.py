@@ -371,3 +371,48 @@ def test_append_resumes_through_finalize_crash(spark, tmp_path, monkeypatch):
         .toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
     )
     assert got.equals(want)
+
+
+def test_range_salt_bounds_concentrated_term(spark, tmp_path):
+    """Doc-RANGE salting degradation bound: a term whose df demands
+    n_salt slices but whose postings all sit in a NARROW doc region
+    lands them in few slices — each encoder group must stay within
+    the documented graceful bound (~concentration * salt_unit), not
+    collapse to one df-sized group."""
+    from pyspark.sql import functions as F
+
+    idx = str(tmp_path / "conc_idx")
+    n = 8_000
+    salt_unit = 256
+    # 'hot' appears in every doc of the FIRST QUARTER of the id space
+    # (df = 2000 = ~8 salt_unit), nowhere else; filler terms spread df
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.when(F.col("id") < n // 4, F.lit("hot ")).otherwise(F.lit("")),
+            F.lit("w"),
+            (F.col("id") % 7).cast("string"),
+        ).alias("text"),
+    )
+    build_index(docs, idx, n_segments=2, n_buckets=8, block_size=16,
+                salt_unit=salt_unit)
+    import os
+
+    post = spark.read.parquet(os.path.join(idx, "postings"))
+    td = spark.read.parquet(os.path.join(idx, "term_dict"))
+    hot_id = td.filter("term = 'hot'").first().term_id
+    per_salt = (
+        post.filter(F.col("term_id") == hot_id)
+        .groupBy(F.shiftright("block_id", 24).alias("salt"))
+        .agg(F.sum("n").alias("postings"))
+        .collect()
+    )
+    df_hot = n // 4
+    n_salt = -(-df_hot // salt_unit)  # ceil -> 8 slices over the corpus
+    # concentration factor: all postings in 1/4 of the id space ->
+    # they map to ~n_salt/4 slices, each holding ~4x salt_unit
+    sizes = sorted(r.postings for r in per_salt)
+    assert sum(sizes) == df_hot
+    assert max(sizes) <= 8 * salt_unit  # documented graceful bound
+    assert len(sizes) >= max(n_salt // 4, 1)  # spread over >= the
+    # slices its doc range intersects, not one df-sized group
