@@ -49,10 +49,6 @@ def entry(spark: SparkSession) -> DataFrame:
 # --- query builders (spark, sf_dir) -> DataFrame ---------------------------
 
 
-def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return bm25_run(load_documents(spark, sf_dir), k=TOPK_K)
-
-
 def q_bm25_topk_k1000(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retrieval at the reference's actual depth (k=1000,
     evaluate.py:164) — previously only benchmarked, now hash-checked."""
@@ -86,6 +82,34 @@ def q_index_search_k1000(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     idx = _materialized_index(spark, sf_dir)
     return search(spark, idx, derive_queries(load_documents(spark, sf_dir)), k=1000)
+
+
+def q_index_search_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append path under the hash gate: build the index over the even
+    half of the corpus, ``append_index`` the odd half (fresh segments +
+    re-finalize — reference semantics: re-index on corpus change,
+    inverted_index.py:23-46 ``force_new``), then search the appended
+    index. The appended index is IDENTICAL to a full build over the
+    union (finalize is a pure function of the segment set), so this
+    shares the BM25 SQL twin over the whole corpus."""
+    from splade_spark.operators.index_build import append_index, build_index
+    from splade_spark.operators.index_query import search
+
+    key = f"{sf_dir}::appended"
+    if key not in _INDEX_CACHE:
+        import tempfile
+
+        idx = tempfile.mkdtemp(prefix="entry_idx_app_")
+        docs = load_documents(spark, sf_dir).select("doc_id", "text")
+        build_index(docs.filter(F.col("doc_id") % 2 == 0), idx, n_segments=4)
+        append_index(docs.filter(F.col("doc_id") % 2 == 1), idx, n_segments=2)
+        _INDEX_CACHE[key] = idx
+    return search(
+        spark,
+        _INDEX_CACHE[key],
+        derive_queries(load_documents(spark, sf_dir)),
+        k=1000,
+    )
 
 
 def q_index_search_maxscore_k1000(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -188,33 +212,39 @@ def _run_and_qrels(spark: SparkSession, sf_dir: str):
 
 
 def q_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ALL headline eval metrics from ONE k=1000 run — mrr@10 +
+    """ALL eval metrics from ONE k=1000 run — mrr@10 +
     recall@{10,100,1000} (binary qrels, evaluate.py:11-31) + graded
-    ndcg@10 (the TREC qrel.json path, evaluate.py:53-69) as a single
-    (metric, value) relation. rank <= 10 of the deep run equals a
-    k=10 run exactly (deterministic (-score, doc_id) ranking), and
-    Catalyst reuses the run's exchanges across the union branches."""
+    ndcg@10 (the TREC qrel.json path, evaluate.py:53-69) PLUS the
+    per-query breakdown (pytrec_eval's per-qid dict,
+    task/evaluator.py:161-180) folded in as qid-keyed rows of the
+    same (metric, value) relation — 'rr@10:q<qid>' / 'recall@10:q<qid>'
+    — so one driver row oracle-checks both the means and every
+    per-query value. rank <= 10 of the deep run equals a k=10 run
+    exactly (deterministic (-score, doc_id) ranking)."""
     docs = load_documents(spark, sf_dir)
-    # persist: the three metric branches share the run relation but
+    # persist: the metric branches share the run relation but
     # Catalyst does not reuse exchanges across union branches here —
-    # unpersisted, the BM25 pipeline executes three times
+    # unpersisted, the BM25 pipeline executes once per branch
     run = bm25_run(docs, k=1000).persist()
     qrels = derive_qrels(docs)
+    pq = per_query_metrics(run, qrels, k=10)
+    per_rows = pq.select(
+        F.concat(F.lit("rr@10:q"), F.col("qid").cast("string")).alias("metric"),
+        F.round("rr", 6).alias("value"),
+    ).unionAll(
+        pq.select(
+            F.concat(F.lit("recall@10:q"), F.col("qid").cast("string")).alias(
+                "metric"
+            ),
+            F.round("recall", 6).alias("value"),
+        )
+    )
     return (
         mrr_at_k(run, qrels, k=10)
         .unionAll(ndcg_at_k(run, derive_qrels_graded(docs), k=10))
         .unionAll(recall_at_cutoffs(run, qrels, ks=(10, 100, 1000)))
+        .unionAll(per_rows)
     )
-
-
-def q_qrels_graded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return derive_qrels_graded(load_documents(spark, sf_dir))
-
-
-def q_per_query_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    run, qrels = _run_and_qrels(spark, sf_dir)
-    pq = per_query_metrics(run, qrels, k=10)
-    return pq.select("qid", F.round("rr", 6).alias("rr"), F.round("recall", 6).alias("recall"))
 
 
 def _docs_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -551,9 +581,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf,
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
-        "bm25_topk": q_bm25_topk,
         "bm25_topk_k1000": q_bm25_topk_k1000,
         "index_search_k1000": q_index_search_k1000,
+        "index_search_appended": q_index_search_appended,
         "index_search_maxscore_k1000": q_index_search_maxscore_k1000,
         "index_search_fused_k1000": q_index_search_fused_k1000,
         "index_search_maxscore_fused_k1000": q_index_search_maxscore_fused_k1000,
@@ -565,8 +595,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_terms": q_query_terms,
         "query_terms_thresholded": q_query_terms_thresholded,
         "eval_metrics": q_eval_metrics,
-        "qrels_graded": q_qrels_graded,
-        "per_query_metrics": q_per_query_metrics,
     }
 
 
@@ -615,9 +643,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": sql_oracle.ivf_topk_sql(),
         "multimodal_features": sql_oracle.multimodal_features_sql(),
         "multimodal_frames": sql_oracle.multimodal_frames_sql(),
-        "bm25_topk": sql_oracle.bm25_topk_sql(TOPK_K),
         "bm25_topk_k1000": sql_oracle.bm25_topk_sql(1000),
         "index_search_k1000": sql_oracle.bm25_topk_sql(1000),
+        "index_search_appended": sql_oracle.bm25_topk_sql(1000),
         "index_search_maxscore_k1000": sql_oracle.bm25_topk_sql(1000),
         "index_search_fused_k1000": sql_oracle.bm25_topk_sql(1000),
         "index_search_maxscore_fused_k1000": sql_oracle.bm25_topk_sql(1000),
@@ -628,6 +656,4 @@ def oracle_sql() -> dict[str, str]:
         "query_terms": sql_oracle.QUERY_TERMS_SQL,
         "query_terms_thresholded": sql_oracle.QUERY_TERMS_THRESH_SQL,
         "eval_metrics": sql_oracle.eval_metrics_sql(1000, 10, (10, 100, 1000)),
-        "qrels_graded": sql_oracle.qrels_graded_sql(),
-        "per_query_metrics": sql_oracle.PER_QUERY_METRICS_SQL,
     }

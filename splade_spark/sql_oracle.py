@@ -244,11 +244,13 @@ def qrels_graded_sql() -> str:
 def eval_metrics_sql(
     run_k: int = 1000, k: int = 10, ks: tuple[int, ...] = (10, 100, 1000)
 ) -> str:
-    """ALL headline eval metrics from ONE k=run_k run (the driver-cap
-    curation: mrr@k + multi-cutoff recall + graded ndcg@k in a single
-    (metric, value) relation — evaluate.py:53-69 dispatch). rank <= k
-    of the deep run is identical to a k-deep run (deterministic
-    (-score, doc_id) ranking), so the shallow-metric twins hold."""
+    """ALL eval metrics from ONE k=run_k run (the driver-cap
+    curation: mrr@k + multi-cutoff recall + graded ndcg@k + the
+    per-query breakdown as 'rr@k:q<qid>' / 'recall@k:q<qid>' rows, in
+    a single (metric, value) relation — evaluate.py:53-69 dispatch,
+    task/evaluator.py:161-180 per-qid dict). rank <= k of the deep
+    run is identical to a k-deep run (deterministic (-score, doc_id)
+    ranking), so the shallow-metric twins hold."""
     from splade_spark.synth import SQL_QRELS_GRADED
 
     h_cols = ",\n         ".join(
@@ -264,13 +266,15 @@ def eval_metrics_sql(
         _run_ctes(run_k)
         + f""",
 hits10 AS (
-  SELECT r.qid, min(r.rank) AS best_rank
+  SELECT r.qid, min(r.rank) AS best_rank, count(*) AS n_hit
   FROM run r JOIN qrels q ON r.qid = q.qid AND r.doc_id = q.doc_id
   WHERE r.rank <= {k}
   GROUP BY r.qid
 ),
 pq10 AS (
-  SELECT n.qid, coalesce(1.0 / h.best_rank, 0.0) AS rr
+  SELECT n.qid,
+         coalesce(1.0 / h.best_rank, 0.0) AS rr,
+         coalesce(h.n_hit, 0) * 1.0 / n.n_rel AS recall
   FROM n_rel n LEFT JOIN hits10 h USING (qid)
 ),
 hitsc AS (
@@ -304,6 +308,10 @@ UNION ALL SELECT 'ndcg@{k}' AS metric,
        round(avg(coalesce(d.dcg / i.idcg, 0.0)), 6) AS value
 FROM gbase b LEFT JOIN gdcg d USING (qid) LEFT JOIN gideal i USING (qid)
 UNION ALL {recall_selects}
+UNION ALL SELECT 'rr@{k}:q' || CAST(qid AS VARCHAR) AS metric,
+       round(rr, 6) AS value FROM pq10
+UNION ALL SELECT 'recall@{k}:q' || CAST(qid AS VARCHAR) AS metric,
+       round(recall, 6) AS value FROM pq10
 """
     )
 

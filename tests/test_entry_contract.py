@@ -52,6 +52,16 @@ def test_query_matches_oracle(spark, duck_smoke, name):
                 assert x == y, f"{name}: {a} vs {b}"
 
 
+def test_exactly_fifty_entries_all_oracle_checked():
+    """The driver caps CORRECTNESS at 50 rows: more entries silently
+    fall out of the oracle check (the r4 regression). Pin the contract
+    at exactly 50, every one with a SQL twin."""
+    qs = entrymod.queries()
+    osql = entrymod.oracle_sql()
+    assert len(qs) == 50, f"queries() must stay at the 50-row cap, got {len(qs)}"
+    assert set(qs) == set(osql), "every entry needs an oracle_sql twin"
+
+
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
