@@ -57,6 +57,11 @@ _BLOCK_ID_STRIDE = 1 << 24  # block_id = salt * stride + seq
 # metadata (a 100 TB index at 8 MB groups is ~12.5M row groups spread
 # across per-bucket files — footer-local, never driver-resident)
 POSTINGS_ROWGROUP_BYTES = 8 * 1024 * 1024
+# conservative on-disk estimate used ONLY to gate the exact-placement
+# write machinery (codec bench: 10.9 B/posting quantized-only, ~15
+# with float impacts; over-estimating just engages the machinery a
+# little earlier — never a correctness input)
+EST_BYTES_PER_POSTING = 16
 
 
 def build_segment(
@@ -411,136 +416,173 @@ def finalize_index(
         # key run — repartitionByRange semantics with zero sampling.
         sort_parts = spark.sparkContext.defaultParallelism * 2
         n_ranges = sort_parts
-        units = (
-            term_dict.select(
-                "bucket",
-                "term_id",
-                F.greatest(
-                    F.ceil(F.col("df") / F.lit(salt_unit)).cast("int"), F.lit(1)
-                ).alias("n_salt"),
-                "df",
-            )
-            .withColumn("salt", F.explode(F.sequence(F.lit(0), F.col("n_salt") - 1)))
-            # df/n_salt mass per salt is exact for pmod salting and the
-            # expectation for range salting; doc-skewed terms only tilt
-            # FILE-size balance (placement stays correct — the range key
-            # is computed per row, boundaries just land off-median)
-            .withColumn(
-                "mass",
-                F.col("df") / F.col("n_salt") / F.lit(block_size) + F.lit(1.0),
-            )
-        )
-        ubw = (
-            Window.partitionBy("bucket")
-            .orderBy("term_id", "salt")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        units = units.withColumn("cum", F.sum("mass").over(ubw))
-        brows = units.groupBy("bucket").agg(
-            F.max("cum").alias("tot"),
-            F.max("term_id").alias("mt"),
-            F.max("n_salt").alias("ms"),
-        ).collect()  # n_buckets rows — metadata-scale by design
-        btot = {int(r.bucket): float(r.tot) for r in brows}
-        # bit budget for the packed (bucket, term_id, salt) range key,
-        # sized from the ACTUAL id ranges so it stays monotone with the
-        # sort order at any scale (a fixed salt field overflows into
-        # term bits once hot-term df exceeds 2^bits * salt_unit). If
-        # the ids are so large salt can't fit, the clamp merges salt
-        # tails — boundaries coarsen, monotonicity survives.
-        term_bits = max(max(int(r.mt) for r in brows).bit_length(), 1)
-        salt_bits = max(
-            min(
-                max((max(int(r.ms) for r in brows) - 1).bit_length(), 1),
-                62 - max((n_buckets - 1).bit_length(), 1) - term_bits,
-            ),
-            0,
-        )
-        salt_cap = (1 << salt_bits) - 1
-        bbase, acc_m = {}, 0.0
-        for b in sorted(btot):
-            bbase[b] = acc_m
-            acc_m += btot[b]
-        width = max(acc_m / n_ranges, 1e-9)
-        base_df = spark.createDataFrame(
-            [(b, v) for b, v in bbase.items()], "bucket int, gbase double"
-        )
-        # boundary units: rows where the GLOBAL cumulative mass crosses
-        # a width multiple; at most n_ranges rows come back
-        bounds = (
-            units.join(F.broadcast(base_df), "bucket")
-            .withColumn("gcum", F.col("gbase") + F.col("cum"))
-            .filter(
-                F.floor(F.col("gcum") / F.lit(width))
-                > F.floor((F.col("gcum") - F.col("mass")) / F.lit(width))
-            )
-            .select("bucket", "term_id", "salt")
-            .collect()
-        )
-        # single-long range key, bucket-major then term then salt —
-        # the same total order as the (bucket, term_id, block_id) sort
-        # (block_id's high bits ARE the salt)
-        ts_bits = term_bits + salt_bits
-        bkeys = sorted(
-            (
-                (int(r.bucket) << ts_bits)
-                | (int(r.term_id) << salt_bits)
-                | min(int(r.salt), salt_cap)
-            )
-            for r in bounds
-        )[: n_ranges - 1]
-        stride_log = _BLOCK_ID_STRIDE.bit_length() - 1
-        key_col = (
-            F.shiftleft(F.col("bucket").cast("long"), ts_bits)
-            .bitwiseOR(F.shiftleft(F.col("term_id").cast("long"), salt_bits))
-            .bitwiseOR(
-                F.least(
-                    F.shiftright(F.col("block_id"), stride_log).cast("long"),
-                    F.lit(salt_cap),
-                )
-            )
-        )
-        # exact range -> partition placement: the exchange hashes the
-        # _pid column with Murmur3(seed 42) — the same function F.hash
-        # exposes — so a metadata-scale probe finds, for each target
-        # partition, a token that hashes into it. Range i gets
-        # tokens[i]: every partition receives exactly one range
-        # (hash-on-small-int placement is Poisson — ~2x partition-size
-        # spread and ~1/e^4 empty partitions it can't fill).
-        tok: dict[int, int] = {}
-        probe = sort_parts * 40
-        while len(tok) < sort_parts:
-            for r in (
-                spark.range(probe)
-                .select(
-                    F.col("id").cast("int").alias("t"),
-                    F.pmod(F.hash(F.col("id").cast("int")), F.lit(sort_parts)).alias(
-                        "p"
-                    ),
-                )
-                .collect()
-            ):
-                tok.setdefault(int(r.p), int(r.t))
-            probe *= 4
-        tokens = [tok[i % sort_parts] for i in range(n_ranges)]
-        if bkeys:
-            rng_idx = F.size(
-                F.filter(
-                    F.array(*[F.lit(k) for k in bkeys]),
-                    lambda b: b <= key_col,
-                )
-            )
-            pid_col = F.element_at(
-                F.array(*[F.lit(t) for t in tokens]), rng_idx + F.lit(1)
-            )
+        # Small-scale bypass: the exact-placement machinery below buys
+        # row-group skipping and core-count-independent file layout,
+        # which only pay once output partitions span MULTIPLE row
+        # groups. The posting mass is known from the dictionary before
+        # any shuffle (one agg over the vocab-sized dict); when the
+        # whole estimated payload fits under ~1 row group per sort
+        # partition, a plain per-bucket sorted write is layout-
+        # equivalent (each bucket file is a handful of row groups,
+        # still (term_id, block_id)-sorted for min/max pruning) and
+        # skips the machinery's fixed driver cost (per-bucket mass
+        # windows + boundary/token-probe collects, ~1.5s — the r4
+        # sf0.1 build regression). At 100 TB est_bytes exceeds the
+        # threshold by orders of magnitude and the exact-placement
+        # path always runs.
+        _mrow = term_dict.agg(F.sum("df"), F.max("term_id")).collect()[0]
+        n_postings, _max_tid = int(_mrow[0] or 0), int(_mrow[1] or 0)
+        est_bytes = n_postings * EST_BYTES_PER_POSTING
+        small_scale = est_bytes < sort_parts * POSTINGS_ROWGROUP_BYTES
+        bucket_bits = max((n_buckets - 1).bit_length(), 1)
+        tid_bits = max(_max_tid.bit_length(), 1)
+        if small_scale:
+            sorted_blocks = blocks.repartition(
+                max(n_buckets, 1), "bucket"
+            ).sortWithinPartitions("bucket", "term_id", "block_id")
+        elif bucket_bits + tid_bits > 62:
+            # packed-key bit budget exceeded (ADVICE r4): with bucket
+            # and term bits alone past 62 the shiftleft would overflow
+            # into the sign bit, keys go non-monotone, and range
+            # placement silently degrades to scattered files. Pay
+            # Spark's sampling range partitioner instead — same sorted
+            # layout, one extra sampling pass over the encoded blocks.
+            sorted_blocks = blocks.repartitionByRange(
+                sort_parts, "bucket", "term_id", "block_id"
+            ).sortWithinPartitions("bucket", "term_id", "block_id")
         else:
-            pid_col = F.lit(tokens[0])
+            units = (
+                term_dict.select(
+                    "bucket",
+                    "term_id",
+                    F.greatest(
+                        F.ceil(F.col("df") / F.lit(salt_unit)).cast("int"), F.lit(1)
+                    ).alias("n_salt"),
+                    "df",
+                )
+                .withColumn("salt", F.explode(F.sequence(F.lit(0), F.col("n_salt") - 1)))
+                # df/n_salt mass per salt is exact for pmod salting and the
+                # expectation for range salting; doc-skewed terms only tilt
+                # FILE-size balance (placement stays correct — the range key
+                # is computed per row, boundaries just land off-median)
+                .withColumn(
+                    "mass",
+                    F.col("df") / F.col("n_salt") / F.lit(block_size) + F.lit(1.0),
+                )
+            )
+            ubw = (
+                Window.partitionBy("bucket")
+                .orderBy("term_id", "salt")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            units = units.withColumn("cum", F.sum("mass").over(ubw))
+            brows = units.groupBy("bucket").agg(
+                F.max("cum").alias("tot"),
+                F.max("term_id").alias("mt"),
+                F.max("n_salt").alias("ms"),
+            ).collect()  # n_buckets rows — metadata-scale by design
+            btot = {int(r.bucket): float(r.tot) for r in brows}
+            # bit budget for the packed (bucket, term_id, salt) range key,
+            # sized from the ACTUAL id ranges so it stays monotone with the
+            # sort order at any scale (a fixed salt field overflows into
+            # term bits once hot-term df exceeds 2^bits * salt_unit). If
+            # the ids are so large salt can't fit, the clamp merges salt
+            # tails — boundaries coarsen, monotonicity survives.
+            term_bits = max(max(int(r.mt) for r in brows).bit_length(), 1)
+            salt_bits = max(
+                min(
+                    max((max(int(r.ms) for r in brows) - 1).bit_length(), 1),
+                    62 - max((n_buckets - 1).bit_length(), 1) - term_bits,
+                ),
+                0,
+            )
+            salt_cap = (1 << salt_bits) - 1
+            bbase, acc_m = {}, 0.0
+            for b in sorted(btot):
+                bbase[b] = acc_m
+                acc_m += btot[b]
+            width = max(acc_m / n_ranges, 1e-9)
+            base_df = spark.createDataFrame(
+                [(b, v) for b, v in bbase.items()], "bucket int, gbase double"
+            )
+            # boundary units: rows where the GLOBAL cumulative mass crosses
+            # a width multiple; at most n_ranges rows come back
+            bounds = (
+                units.join(F.broadcast(base_df), "bucket")
+                .withColumn("gcum", F.col("gbase") + F.col("cum"))
+                .filter(
+                    F.floor(F.col("gcum") / F.lit(width))
+                    > F.floor((F.col("gcum") - F.col("mass")) / F.lit(width))
+                )
+                .select("bucket", "term_id", "salt")
+                .collect()
+            )
+            # single-long range key, bucket-major then term then salt —
+            # the same total order as the (bucket, term_id, block_id) sort
+            # (block_id's high bits ARE the salt)
+            ts_bits = term_bits + salt_bits
+            bkeys = sorted(
+                (
+                    (int(r.bucket) << ts_bits)
+                    | (int(r.term_id) << salt_bits)
+                    | min(int(r.salt), salt_cap)
+                )
+                for r in bounds
+            )[: n_ranges - 1]
+            stride_log = _BLOCK_ID_STRIDE.bit_length() - 1
+            key_col = (
+                F.shiftleft(F.col("bucket").cast("long"), ts_bits)
+                .bitwiseOR(F.shiftleft(F.col("term_id").cast("long"), salt_bits))
+                .bitwiseOR(
+                    F.least(
+                        F.shiftright(F.col("block_id"), stride_log).cast("long"),
+                        F.lit(salt_cap),
+                    )
+                )
+            )
+            # exact range -> partition placement: the exchange hashes the
+            # _pid column with Murmur3(seed 42) — the same function F.hash
+            # exposes — so a metadata-scale probe finds, for each target
+            # partition, a token that hashes into it. Range i gets
+            # tokens[i]: every partition receives exactly one range
+            # (hash-on-small-int placement is Poisson — ~2x partition-size
+            # spread and ~1/e^4 empty partitions it can't fill).
+            tok: dict[int, int] = {}
+            probe = sort_parts * 40
+            while len(tok) < sort_parts:
+                for r in (
+                    spark.range(probe)
+                    .select(
+                        F.col("id").cast("int").alias("t"),
+                        F.pmod(F.hash(F.col("id").cast("int")), F.lit(sort_parts)).alias(
+                            "p"
+                        ),
+                    )
+                    .collect()
+                ):
+                    tok.setdefault(int(r.p), int(r.t))
+                probe *= 4
+            tokens = [tok[i % sort_parts] for i in range(n_ranges)]
+            if bkeys:
+                rng_idx = F.size(
+                    F.filter(
+                        F.array(*[F.lit(k) for k in bkeys]),
+                        lambda b: b <= key_col,
+                    )
+                )
+                pid_col = F.element_at(
+                    F.array(*[F.lit(t) for t in tokens]), rng_idx + F.lit(1)
+                )
+            else:
+                pid_col = F.lit(tokens[0])
+            sorted_blocks = (
+                blocks.withColumn("_pid", pid_col)
+                .repartition(sort_parts, "_pid")
+                .sortWithinPartitions("bucket", "term_id", "block_id")
+                .drop("_pid")
+            )
         (
-            blocks.withColumn("_pid", pid_col)
-            .repartition(sort_parts, "_pid")
-            .sortWithinPartitions("bucket", "term_id", "block_id")
-            .drop("_pid")
-            .write.mode("overwrite")
+            sorted_blocks.write.mode("overwrite")
             .option("parquet.block.size", str(POSTINGS_ROWGROUP_BYTES))
             .partitionBy("bucket")
             .parquet(post_dir)

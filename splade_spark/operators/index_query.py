@@ -345,6 +345,34 @@ def make_score_kernel(q_arrs: dict, gap_codec: str = "vbyte"):
 # stays ahead.
 DOC_MAJOR_FACTOR = 8
 DOC_MAJOR_MIN_ROWS = 2_000_000
+# Per-task dense-accumulator budget for the doc-major score kernel: a
+# live shard holds one float64 row of shard_width entries per distinct
+# hit term (bound = hit_terms x shard_width x 8 bytes — the kernel
+# processes one shard at a time, so this IS the transient peak). The
+# default geometry (n_docs / (4 x parallelism)) grows with corpus
+# size; unguarded, a diverse 4096-query batch over a billion-doc shard
+# would need multi-GB per task. The guard shrinks shard_width until
+# the bound fits the budget (more shards per partition — more bincount
+# passes, same shuffle bytes, memory bounded).
+DOC_MAJOR_ACC_BUDGET_BYTES = 256 << 20
+# below this guarded width the pack kernel fragments every posting
+# block across many shards (row multiplication); auto falls back to
+# term-major instead (a pinned strategy="doc" still runs, guarded)
+DOC_MAJOR_MIN_WIDTH = 1024
+
+
+def _guarded_shard_geometry(
+    n_docs: int, n_parts: int, n_hit_terms: int
+) -> tuple[int, int]:
+    """(shard_width, n_shards) honoring DOC_MAJOR_ACC_BUDGET_BYTES:
+    hit_terms x shard_width x 8 <= budget."""
+    n_shards = n_parts * 2
+    shard_width = max(1, (n_docs + n_shards - 1) // n_shards)
+    cap = max(1, DOC_MAJOR_ACC_BUDGET_BYTES // (8 * max(n_hit_terms, 1)))
+    if shard_width > cap:
+        shard_width = cap
+        n_shards = (n_docs + shard_width - 1) // shard_width
+    return shard_width, n_shards
 
 
 def _docmajor_pack_kernel(shard_width: int, gap_codec: str):
@@ -530,9 +558,13 @@ def _search_fused_docmajor(
     n_parts = max(spark.sparkContext.defaultParallelism * 2, 8)
     # ~2 doc shards per partition smooths the hash-placement Poisson
     # imbalance (1 shard/partition leaves ~1/e of partitions empty)
-    # without multiplying per-shard accumulator + emission overhead
-    n_shards = n_parts * 2
-    shard_width = max(1, (n_docs + n_shards - 1) // n_shards)
+    # without multiplying per-shard accumulator + emission overhead;
+    # _guarded_shard_geometry then shrinks shard_width if the dense
+    # accumulator bound (hit_terms x shard_width x 8 B) would exceed
+    # the per-task budget
+    shard_width, _n_shards = _guarded_shard_geometry(
+        n_docs, n_parts, len(hit_terms)
+    )
     packed = pruned.select(
         "term_id", "first_doc_id", "n", "doc_gap_bytes", "impact_bytes"
     ).mapInArrow(
@@ -623,10 +655,18 @@ def search_fused(
     )
     n_parts = max(spark.sparkContext.defaultParallelism * 2, 8)
     emit_bound = n_parts * max(len(q_arrs), 1) * k
+    # memory-guarded geometry preview: if honoring the accumulator
+    # budget would fragment shards below DOC_MAJOR_MIN_WIDTH docs,
+    # auto stays term-major (pack-kernel row multiplication would eat
+    # the win); an explicit strategy="doc" still runs, guarded
+    guarded_width, _ = _guarded_shard_geometry(
+        int(stats["n_docs"]), n_parts, len(hit_terms)
+    )
     if strategy == "doc" or (
         strategy == "auto"
         and candidate_pairs > DOC_MAJOR_FACTOR * emit_bound
         and candidate_pairs > DOC_MAJOR_MIN_ROWS
+        and guarded_width >= DOC_MAJOR_MIN_WIDTH
     ):
         return _search_fused_docmajor(
             spark, index_dir, q_arrs, buckets, hit_terms, k, threshold,

@@ -67,6 +67,26 @@ FUSED_DELEGATE_LIMIT = 4096
 # (operators/bmp.py).
 PRUNE_EPS = 1.5e-6
 
+# Persisted working-set relations (query-term cache, block metadata,
+# per-query floors) from the LAST search_maxscore relation-path call.
+# They must outlive the call — the returned lazy plan references them —
+# so each call evicts the previous call's set instead, and
+# ``release_maxscore_cache()`` is the explicit end-of-session hook.
+# Unpersisting is always safe: a still-held old plan just recomputes.
+_RELATION_WORKING_SET: list[DataFrame] = []
+
+
+def release_maxscore_cache() -> None:
+    """Unpersist the metadata/floor relations persisted by the most
+    recent ``search_maxscore`` relation-path call (storage-pool hygiene
+    for long-running sessions)."""
+    while _RELATION_WORKING_SET:
+        df = _RELATION_WORKING_SET.pop()
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped
+
 
 def search_maxscore_fused(
     spark: SparkSession,
@@ -522,6 +542,10 @@ def search_maxscore(
             )
     if exact_floor is None:
         exact_floor = k <= 100
+    # evict the PREVIOUS call's persisted working set (see
+    # _RELATION_WORKING_SET): one relation-path working set live at a
+    # time instead of one leaked per call
+    release_maxscore_cache()
     term_dict = load_term_dict(spark, index_dir)
     postings = load_postings(spark, index_dir)
 
@@ -536,6 +560,7 @@ def search_maxscore(
         )
     )
     qt = qt.cache()
+    _RELATION_WORKING_SET.append(qt)
 
     # bucket-literal partition pruning (content-addressed buckets —
     # derived from query tokens, no postings/term_dict pre-scan),
@@ -562,6 +587,7 @@ def search_maxscore(
     meta = blocks.select(
         "term_id", "block_id", "n", "first_doc_id", "last_doc_id", "block_max"
     ).persist()
+    _RELATION_WORKING_SET.append(meta)
     # per-(query, block) metadata — no bytes, no decode
     blocks_meta = meta.drop("n").join(F.broadcast(qt), "term_id")
 
@@ -673,6 +699,7 @@ def search_maxscore(
     # scoring DAG; persist the (one-row-per-query) relation so the
     # champion decode chain is not recomputed per action
     floors = floors.persist()
+    _RELATION_WORKING_SET.append(floors)
     retained_sel = retained_pairs.select("term_id", "block_id").distinct()
     retained_blocks = _literal_block_src(
         postings,

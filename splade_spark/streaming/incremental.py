@@ -149,6 +149,21 @@ def stream_append(
             "gap_codec": prior.get("gap_codec", "vbyte"),
             "store_impacts": bool(prior.get("store_impacts", True)),
         }
+    if seg_rows < covered_rows:
+        # impossible under the ingest contract: a finalize covers
+        # exactly the union of committed segments, so stats.n_docs can
+        # never exceed the summed segment rows. Reaching here means
+        # coverage accounting drifted — a segment commit missing its
+        # ``rows`` field, or duplicate doc_ids across drained files
+        # inflating a past finalize. Silently clamping would treat the
+        # index as complete and leave genuinely-pending docs deferred
+        # forever, so fail loudly instead.
+        raise RuntimeError(
+            "stream_append coverage drift: committed segment rows "
+            f"({seg_rows}) < docs covered by the finalized index "
+            f"({covered_rows}); check segment manifest 'rows' fields "
+            "and the doc_id-disjointness of drained files"
+        )
     pending_rows = max(seg_rows - covered_rows, 0)
     if "index" in finalize_done:
         if pending_rows == 0:

@@ -77,6 +77,7 @@ def test_auto_delegates_high_match_batches_to_docmajor(
     monkeypatch.setattr(index_query, "_search_fused_docmajor", spy)
     monkeypatch.setattr(index_query, "DOC_MAJOR_FACTOR", 0)
     monkeypatch.setattr(index_query, "DOC_MAJOR_MIN_ROWS", 0)
+    monkeypatch.setattr(index_query, "DOC_MAJOR_MIN_WIDTH", 0)
     qs = [(r.qid, r.text) for r in qrows[:4]]
     got = search_fused(spark, built, qs, k=10, strategy="auto").collect()
     assert calls, "auto did not take the doc-major path"
@@ -96,3 +97,47 @@ def test_auto_keeps_term_major_for_small_batches(spark, built, qrows, monkeypatc
     qs = [(r.qid, r.text) for r in qrows[:4]]
     search_fused(spark, built, qs, k=10, strategy="auto").collect()
     assert not calls
+
+
+def test_guarded_shard_geometry_bounds_accumulator():
+    """The accumulator bound is hit_terms x shard_width x 8 bytes per
+    live shard; the guard must shrink shard_width until it fits the
+    budget and re-derive n_shards to keep covering n_docs."""
+    budget = index_query.DOC_MAJOR_ACC_BUDGET_BYTES
+    # roomy case: default geometry untouched
+    w, s = index_query._guarded_shard_geometry(10_000, 8, 4)
+    assert w == 625 and s == 16
+    # wide-vocab dense batch over a big corpus: bound would be
+    # 100k terms x (1e9/64) x 8 B = 12.5 TB -> guard must fire
+    n_docs, n_terms = 1_000_000_000, 100_000
+    w, s = index_query._guarded_shard_geometry(n_docs, 32, n_terms)
+    assert n_terms * w * 8 <= budget
+    assert s * w >= n_docs  # shards still cover the corpus
+    assert w >= 1
+
+
+def test_docmajor_guard_fires_results_identical(spark, built, qrows, monkeypatch):
+    """Squeeze the budget so the guard provably fires at test scale
+    (shard_width collapses, n_shards rises) and assert the doc-major
+    results are unchanged — the guard is a pure memory/geometry knob."""
+    qs = [(r.qid, r.text) for r in qrows]
+    want = search_fused(spark, built, qs, k=10, strategy="term").collect()
+
+    seen = {}
+    real = index_query._guarded_shard_geometry
+
+    def spy(n_docs, n_parts, n_hit):
+        w, s = real(n_docs, n_parts, n_hit)
+        seen["geom"] = (w, s, n_hit)
+        return w, s
+
+    monkeypatch.setattr(index_query, "_guarded_shard_geometry", spy)
+    # 800 bytes / (8 x hit_terms): with dozens of hit terms the cap
+    # lands at width 1-few docs — far below the unguarded width
+    monkeypatch.setattr(index_query, "DOC_MAJOR_ACC_BUDGET_BYTES", 800 * 64)
+    got = search_fused(spark, built, qs, k=10, strategy="doc").collect()
+
+    w, s, n_hit = seen["geom"]
+    assert n_hit * w * 8 <= 800 * 64  # the bound the guard enforces
+    assert w < 500  # fired: 500-doc corpus default width is >= 32
+    assert sorted(map(_key, got)) == sorted(map(_key, want))

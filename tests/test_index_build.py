@@ -416,3 +416,50 @@ def test_range_salt_bounds_concentrated_term(spark, tmp_path):
     assert max(sizes) <= 8 * salt_unit  # documented graceful bound
     assert len(sizes) >= max(n_salt // 4, 1)  # spread over >= the
     # slices its doc range intersects, not one df-sized group
+
+
+def test_exact_placement_machinery_matches_bypass(spark, tmp_path, monkeypatch):
+    """Round 5 gated the dictionary-driven exact-placement write behind
+    a posting-mass threshold (small corpora take a plain per-bucket
+    sorted write). Force the machinery at test scale and assert (a) the
+    two layouts serve rank-identical results — placement is a pure perf
+    choice — and (b) the machinery's files each hold one contiguous
+    sorted (bucket, term_id, block_id) key run (the property the packed
+    range key exists to guarantee)."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from splade_spark.operators import index_build as ib
+    from splade_spark.synth import derive_queries
+
+    docs = load_documents(spark, SF_SMOKE)
+    queries = derive_queries(docs)
+
+    idx_a = str(tmp_path / "idx_bypass")
+    build_index(docs, idx_a, n_segments=2, n_buckets=8, block_size=16, salt_unit=64)
+    # inflate the per-posting estimate so est_bytes clears the gate
+    monkeypatch.setattr(ib, "EST_BYTES_PER_POSTING", 1 << 40)
+    idx_b = str(tmp_path / "idx_machinery")
+    build_index(docs, idx_b, n_segments=2, n_buckets=8, block_size=16, salt_unit=64)
+
+    a = search(spark, idx_a, queries, k=K).toPandas().sort_values(["qid", "rank"])
+    b = search(spark, idx_b, queries, k=K).toPandas().sort_values(["qid", "rank"])
+    assert (a.qid.values == b.qid.values).all()
+    assert (a.doc_id.values == b.doc_id.values).all()
+    assert (abs(a.score.values - b.score.values) < 1e-9).all()
+
+    # every machinery-written file: rows sorted by (term_id, block_id)
+    # (bucket is the dir partition), i.e. one contiguous key run
+    root = os.path.join(idx_b, "postings")
+    nfiles = 0
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            nfiles += 1
+            t = pq.read_table(
+                os.path.join(dirpath, f), columns=["term_id", "block_id"]
+            ).to_pandas()
+            keys = list(zip(t.term_id, t.block_id))
+            assert keys == sorted(keys), f"unsorted key run in {f}"
+    assert nfiles > 0

@@ -237,3 +237,39 @@ def test_stream_append_defers_small_drains_then_flushes(spark, tmp_path):
         search(spark, idx, queries, k=10)
         .toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
     ).equals(want)
+
+
+def test_stream_append_fails_loudly_on_coverage_drift(spark, tmp_path):
+    """seg_rows < covered_rows is impossible under the ingest contract
+    (a finalize covers exactly the union of committed segments); when
+    accounting drifts — e.g. a segment commit loses its ``rows`` field
+    — stream_append must surface the drift instead of silently clamping
+    pending to 0 and treating the index as complete (ADVICE r4)."""
+    import json
+
+    import pytest
+
+    from splade_spark.operators.index_build import build_index
+    from splade_spark.plans.snapshots import Manifest
+    from splade_spark.sources.pages import load_documents
+    from splade_spark.streaming.incremental import stream_append
+
+    from tests.conftest import SF_SMOKE
+
+    docs = load_documents(spark, SF_SMOKE)
+    idx = str(tmp_path / "drift_idx")
+    build_index(docs.filter("doc_id % 3 != 0"), idx, n_segments=2, n_buckets=8)
+
+    # corrupt the committed segments' row counts to simulate drift
+    # (losing the ``rows`` field undercounts exactly like this)
+    man = Manifest.load(idx)
+    for s in man.snapshots:
+        if s["stage"] == "segment":
+            s["rows"] = 0
+    with open(man.path, "w") as f:
+        json.dump({"snapshots": man.snapshots}, f)
+
+    inbox = str(tmp_path / "drift_inbox")
+    docs.filter("doc_id % 3 = 0").write.mode("overwrite").parquet(inbox)
+    with pytest.raises(RuntimeError, match="coverage drift"):
+        stream_append(spark, inbox, idx)
