@@ -222,6 +222,29 @@ def cmd_export_pisa(args) -> None:
     print(json.dumps({"cmd": "export-pisa", **stats}))
 
 
+def cmd_export_hdf5(args) -> None:
+    """Export a finalized index as the reference's HDF5 array-index
+    directory (inverted_index.py:75-95 layout: array_index.h5py +
+    index_dist.json + doc_ids.pkl) via the pure-Python writer."""
+    import os
+
+    from splade_spark.sources.hdf5 import export_hdf5_index
+
+    spark = _spark(args)
+    t0 = time.time()
+    path = export_hdf5_index(spark, args.index_dir, args.output)
+    print(
+        json.dumps(
+            {
+                "cmd": "export-hdf5",
+                "file": path,
+                "bytes": os.path.getsize(path),
+                "wall_sec": round(time.time() - t0, 3),
+            }
+        )
+    )
+
+
 def cmd_describe(args) -> None:
     """Index health/summary: corpus stats, codec, vocab/block counts,
     per-stage lineage from the snapshot manifest."""
@@ -346,6 +369,11 @@ def main(argv=None) -> None:
     pe.add_argument("--output", required=True, help="output file prefix")
     pe.add_argument("--cores", type=int)
 
+    ph = sub.add_parser("export-hdf5")
+    ph.add_argument("--index-dir", required=True)
+    ph.add_argument("--output", required=True, help="output directory")
+    ph.add_argument("--cores", type=int)
+
     pd_ = sub.add_parser("describe")
     pd_.add_argument("--index-dir", required=True)
     pd_.add_argument("--cores", type=int)
@@ -361,6 +389,7 @@ def main(argv=None) -> None:
         "drain": cmd_drain,
         "query": cmd_query,
         "export-pisa": cmd_export_pisa,
+        "export-hdf5": cmd_export_hdf5,
         "describe": cmd_describe,
         "bench": cmd_bench,
     }[args.cmd](args)

@@ -67,8 +67,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # default 10k-row Arrow batches fragment 100M-row kernel inputs
         # into thousands of pandas materializations; bigger batches cut
-        # that fixed cost ~13x at a few MB per in-flight batch
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "131072")
+        # that fixed cost ~13x at a few MB per in-flight batch.
+        # env-overridable for A/B attribution (BENCH/BASELINE.md drift
+        # note)
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("SPARK_GRAFT_ARROW_BATCH", "131072"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         # heap scales with parallelism: more concurrent tasks need more
         # headroom or GC serializes the run (local-mode analog of
