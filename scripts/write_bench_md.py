@@ -460,6 +460,79 @@ def main() -> None:
                 )
             lines.append("")
 
+    # 1024-batch driver-floor profile, if archived
+    prof_dir = os.path.join(REPO, "BENCH")
+    if os.path.exists(os.path.join(prof_dir, "qps_profile_aqe.jsonl")):
+        lines += [
+            "### Mid-size (1,024) batch floor — measured profile"
+            " (scripts/qps_profile.py)",
+            "",
+            "Per level: prep = driver-only (tokenize, term_dict pyarrow",
+            "read, predicate + plan build), exec = the action; run 1 cold,",
+            "run 2 warm. 2M docs / 50k vocab, k=1000",
+            "(BENCH/qps_profile_*.jsonl):",
+            "",
+            "| config | l8 warm prep+exec | l32 warm prep+exec | warm eff |",
+            "|---|---|---|---|",
+            "| AQE on (default) | 0.36 + 3.31 s | 0.38 + 2.30 s | 0.342 |",
+            "| AQE off | 0.48 + 3.80 s | 0.40 + 2.11 s | 0.425 |",
+            "| single query (fixed pipeline cost) | 0.24 + 0.49 s |"
+            " 0.31 + 0.63 s | — |",
+            "",
+            "Attribution: the floor is NOT predicate/plan construction",
+            "(prep is ~0.4 s and FLAT across levels — the in_literals fix",
+            "holds) and NOT AQE re-planning (±0.2 s either way). It is the",
+            "per-batch FIXED pipeline cost — stage scheduling + Python",
+            "worker dispatch across the 4-stage plan — measured directly",
+            "as the warm single-query exec (0.49 s at l8, 0.63 s at l32:",
+            "it GROWS with task count), plus the box's SMT ceiling on the",
+            "data work (pure-CPU calibration 0.77 at 32 procs). Removing",
+            "the fixed cost from the 1,024-batch walls leaves data-work",
+            "scaling of 2.82 s -> 1.67 s (1.7x of the 4x cores, consistent",
+            "with the SMT ceiling on a shuffle-heavy profile). The fix is",
+            "amortization, not plan surgery: at 4,096 queries the same",
+            "pipeline reaches eff 0.661 (table above); cold run 1 pays a",
+            "one-time 3-6 s worker-spawn + JIT cost a serving session",
+            "never repeats.",
+            "",
+        ]
+
+    # doc-major/term-major crossover sweep, if archived
+    xfiles = sorted(
+        os.path.join(REPO, "BENCH", f)
+        for f in os.listdir(os.path.join(REPO, "BENCH"))
+        if f.startswith("docmajor_crossover")
+    ) if os.path.isdir(os.path.join(REPO, "BENCH")) else []
+    cells = []
+    for xf in xfiles:
+        with open(xf) as f:
+            for line in f:
+                line = line.strip()
+                if line.startswith('{"vocab"'):
+                    cells.append(json.loads(line))
+    if cells:
+        cells.sort(key=lambda c: (c["ratio"], c["batch"]))
+        lines += [
+            "## Doc-major / term-major crossover"
+            " (scripts/docmajor_crossover_bench.py)",
+            "",
+            "1M docs, vocabulary shrunk to raise per-term df; ratio =",
+            "dictionary-estimated candidate pairs / doc-major's emission",
+            "bound (n_parts x n_queries x k). The plans cross at ratio ~1 —",
+            "where the two row bounds cross, as the cost model predicts —",
+            "so `DOC_MAJOR_FACTOR = 1` (was 8, from a single ratio-850",
+            "point).",
+            "",
+            "| ratio | df | batch | term-major s | doc-major s | winner |",
+            "|---|---|---|---|---|---|",
+        ]
+        lines += [
+            f"| {c['ratio']} | {c['df_est']:,} | {c['batch']} |"
+            f" {c['term_s']} | {c['doc_s']} | **{c['winner']}** |"
+            for c in cells
+        ]
+        lines.append("")
+
     if args.drain:
         with open(args.drain) as f:
             dr = json.load(f)
@@ -510,17 +583,37 @@ def main() -> None:
         lines += [f"| {k} | {v} |" for k, v in sorted(bench["queries"].items())]
         lines += [
             "",
-            "Round-4 notes: `index_search_maxscore_k1000` now PINS",
-            "strategy='relation' so the all-DataFrame MaxScore plan has its",
-            "own oracle-checked row (round 3's auto delegated it to the",
-            "fused planner, which `index_search_maxscore_fused_k1000`",
-            "already covers) — its wall includes the relation plan's ~4-job",
-            "fixed floor, expected at this SF. `index_search_bmp_quantized`",
-            "is new: integer block-max search over the quantized-only",
-            "(store_impacts=False) index. `search_fused` entries route",
-            "through the round-4 strategy picker (term-major at this",
-            "selective SF; the doc-major plan is exercised by the scaling",
-            "table above and tests/test_docmajor.py).",
+            "Round-5 notes: the contract is curated to EXACTLY 50",
+            "oracle-checked entries (per-query metrics folded into",
+            "`eval_metrics`; `qrels_graded` and the redundant k=10",
+            "`bm25_topk` retired; `index_search_appended` — build even",
+            "half, append odd half, search — is new and the most expensive",
+            "row by construction: two finalizes). `index_search_maxscore_",
+            "k1000` still PINS strategy='relation' (its ~4-job fixed floor",
+            "is expected at this SF; it wins at 6M docs, pruning table",
+            "above).",
+            "",
+            "### r3->r4 suite-drift attribution (BENCH/drift/*.json)",
+            "",
+            "Round 4 left ~20 untouched entries 1.2-1.4x slower without a",
+            "named cause. Controlled A/B this round (same machine, same",
+            "hour, interleaved runs, best-of-2, sf0.1/local[32]):",
+            "",
+            "- config suspects EXONERATED: arrow.maxRecordsPerBatch",
+            "  131072 -> 10000 made the suite ~5.6s SLOWER, driver heap",
+            "  32g -> 16g ~5.8s SLOWER (the r4 session changes help, not",
+            "  hurt).",
+            "- r3 CODE re-run today: 70.1s (recorded) -> 72.6s on common",
+            "  entries = 1.035x pure machine drift.",
+            "- HEAD vs r3 code, same day, common entries: 78.8 vs 72.6 =",
+            "  1.087x, of which +3.7s is the DELIBERATE relation-plan pin",
+            "  and +0.9s the eval_metrics fold (which retired a 3.9s",
+            "  standalone row — net win); excluding the pin: 1.038x,",
+            "  within run-to-run noise.",
+            "- Bottom line: HEAD total minus the three post-r3 entries",
+            "  minus the pin delta = 76.7s vs r3's recorded 76.9s — the",
+            "  'drift' was machine noise + deliberate plan changes, not a",
+            "  regression.",
             "",
         ]
 

@@ -338,12 +338,23 @@ def make_score_kernel(q_arrs: dict, gap_codec: str = "vbyte"):
 # emits only per-partition top-ks, so it wins exactly when the
 # term-major row estimate dwarfs doc-major's emission bound of
 # n_parts x n_queries x k (the dense-match regime: candidate sets
-# far deeper than k). Measured on the 4M-doc replicated corpus:
-# 164M candidate pairs vs a 192k emission bound — doc-major 6.3s vs
-# term-major 50s at local[8]. On a selective corpus (candidates per
-# query ~ k) the bounds coincide and term-major's single shuffle
-# stays ahead.
-DOC_MAJOR_FACTOR = 8
+# far deeper than k).
+#
+# FACTOR pinned to the measured knee (scripts/docmajor_crossover_
+# bench.py, 1M docs x vocab in {50k..200} x batch in {64,512},
+# local[32], ratio = candidate_pairs / emit_bound):
+#   ratio 0.38 -> term wins both batches (2.46s vs 2.79s at 512)
+#   ratio 0.94 -> tie at 64 (1.48/1.53), doc wins 512 (3.57/2.87)
+#   ratio 1.88 -> doc wins both (6.06s vs 3.29s at 512)
+#   ratio 3.75 -> doc wins 6.4x at 512 (24.0s vs 3.77s)
+# i.e. the two plans cross where the two row bounds cross — at
+# ratio ~1, exactly the theory's prediction. The earlier 4M-doc
+# replicated-corpus point (164M pairs vs 192k bound, ratio ~850:
+# doc 6.3s vs term 50s at local[8]) sits deep on the doc side.
+DOC_MAJOR_FACTOR = 1
+# absolute floor: below ~2M candidate pairs term-major's single
+# shuffle is cheap in absolute terms and doc-major's extra exchange
+# + per-shard kernel overhead is pure loss regardless of the ratio
 DOC_MAJOR_MIN_ROWS = 2_000_000
 # Per-task dense-accumulator budget for the doc-major score kernel: a
 # live shard holds one float64 row of shard_width entries per distinct
