@@ -62,6 +62,11 @@ POSTINGS_ROWGROUP_BYTES = 8 * 1024 * 1024
 # with float impacts; over-estimating just engages the machinery a
 # little earlier — never a correctness input)
 EST_BYTES_PER_POSTING = 16
+# packed (bucket, term_id, salt) range-key bit budget: 62 keeps the
+# long positive with headroom; when bucket+term bits alone exceed it
+# the write falls back to repartitionByRange (module constant so the
+# fallback is testable at sandbox id ranges)
+PACKED_KEY_BITS = 62
 
 
 def build_segment(
@@ -440,7 +445,7 @@ def finalize_index(
             sorted_blocks = blocks.repartition(
                 max(n_buckets, 1), "bucket"
             ).sortWithinPartitions("bucket", "term_id", "block_id")
-        elif bucket_bits + tid_bits > 62:
+        elif bucket_bits + tid_bits > PACKED_KEY_BITS:
             # packed-key bit budget exceeded (ADVICE r4): with bucket
             # and term bits alone past 62 the shiftleft would overflow
             # into the sign bit, keys go non-monotone, and range
@@ -492,7 +497,7 @@ def finalize_index(
             salt_bits = max(
                 min(
                     max((max(int(r.ms) for r in brows) - 1).bit_length(), 1),
-                    62 - max((n_buckets - 1).bit_length(), 1) - term_bits,
+                    PACKED_KEY_BITS - max((n_buckets - 1).bit_length(), 1) - term_bits,
                 ),
                 0,
             )

@@ -170,3 +170,58 @@ def test_export_import_spark_index(spark, tmp_path):
         for t, d, w in zip(got.term_id, got.doc_id, got.impact)
     }
     assert got_rel == want_set
+
+
+def test_reader_handles_continuation_and_nil_messages(tmp_path):
+    """libhdf5-written files may carry NIL padding messages and object
+    header continuation blocks (type 0x0010); our writer never emits
+    them, so synthesize a file with both and assert the reader walks
+    them: a header whose dataspace/datatype live in a continuation
+    block after a NIL."""
+    import numpy as np
+
+    d = str(tmp_path / "h5c")
+    path = H.write_array_index(
+        d, [(0, np.arange(5, dtype=np.int32), np.ones(5, dtype=np.float32))], dim=1
+    )
+    raw = bytearray(open(path, "rb").read())
+
+    # locate the dataset OH for index_doc_id_0 via the reader's own walk
+    dsets = H.read_hdf5_datasets(path)
+    assert np.array_equal(dsets["index_doc_id_0"], np.arange(5, dtype=np.int32))
+
+    # build a synthetic object header: prefix + NIL + continuation ->
+    # continuation block holds dataspace/datatype/layout of a fresh
+    # dataset; append raw data + the two blocks, rewrite the root
+    # B-tree is overkill — instead parse the synthetic header directly
+    data_addr = len(raw)
+    arr = np.arange(7, dtype=np.int32)
+    raw += arr.tobytes()
+
+    cont_msgs = (
+        H._dataspace_msg((7,))
+        + H._datatype_msg("int32")
+        + H._layout_msg(data_addr, arr.nbytes)
+    )
+    # after the new OH block: 16B prefix + 16B NIL + 24B continuation
+    cont_addr = len(raw) + 16 + 16 + 24
+    nil = struct.pack("<HHB3x", 0x0000, 8, 0) + b"\x00" * 8
+    cont = struct.pack("<HHB3x", 0x0010, 16, 0) + struct.pack(
+        "<QQ", cont_addr, len(cont_msgs)
+    )
+    # prefix: 4 messages hidden behind NIL + continuation indirection
+    oh = struct.pack("<BxHII4x", 1, 5, 1, len(nil) + len(cont)) + nil + cont
+    oh_addr = len(raw)
+    raw += oh
+    assert len(raw) == cont_addr
+    raw += cont_msgs
+    open(path, "wb").write(bytes(raw))
+
+    msgs = H._read_object_header(memoryview(bytes(raw)), oh_addr)
+    kinds = [m for m, _ in msgs]
+    assert kinds == [0x0001, 0x0003, 0x0008]
+    shape = H._parse_dataspace(dict(msgs)[0x0001])
+    addr, nbytes = H._parse_layout(dict(msgs)[0x0008])
+    got = np.frombuffer(bytes(raw), dtype="<i4", count=7, offset=addr)
+    assert shape == (7,) and nbytes == arr.nbytes
+    assert np.array_equal(got, arr)

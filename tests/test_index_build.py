@@ -463,3 +463,42 @@ def test_exact_placement_machinery_matches_bypass(spark, tmp_path, monkeypatch):
             keys = list(zip(t.term_id, t.block_id))
             assert keys == sorted(keys), f"unsorted key run in {f}"
     assert nfiles > 0
+
+
+def test_packed_key_overflow_falls_back_to_range_partitioner(
+    spark, tmp_path, monkeypatch
+):
+    """When bucket+term bits exceed the packed-key budget the write
+    must take the repartitionByRange fallback (sampling, but correct
+    monotone placement) rather than overflowing shiftleft into the
+    sign bit. Force it by shrinking the budget; results and sorted
+    per-file key runs must be unaffected."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from splade_spark.operators import index_build as ib
+    from splade_spark.synth import derive_queries
+
+    docs = load_documents(spark, SF_SMOKE)
+    monkeypatch.setattr(ib, "EST_BYTES_PER_POSTING", 1 << 40)  # skip bypass
+    monkeypatch.setattr(ib, "PACKED_KEY_BITS", 4)  # force overflow branch
+    idx = str(tmp_path / "idx_overflow")
+    build_index(docs, idx, n_segments=2, n_buckets=8, block_size=16, salt_unit=64)
+
+    queries = derive_queries(docs)
+    got = search(spark, idx, queries, k=K).toPandas().sort_values(["qid", "rank"])
+    want = (
+        bm25_run(docs, k=K).toPandas().sort_values(["qid", "rank"])
+    )
+    assert (got.qid.values == want.qid.values).all()
+    assert (got.doc_id.values == want.doc_id.values).all()
+    assert (abs(got.score.values - want.score.values) < 1e-9).all()
+
+    for dirpath, _dirs, files in os.walk(os.path.join(idx, "postings")):
+        for f in files:
+            if f.endswith(".parquet"):
+                t = pq.read_table(
+                    os.path.join(dirpath, f), columns=["term_id", "block_id"]
+                ).to_pandas()
+                keys = list(zip(t.term_id, t.block_id))
+                assert keys == sorted(keys), f"unsorted key run in {f}"
