@@ -374,8 +374,19 @@ def finalize_index(
         # on the exact group keys satisfies the applyInPandas distribution
         # (no second exchange), and cores*8 partitions keep per-task sorts
         # small — measured ~20% faster than the shuffle.partitions default,
-        # which AQE can coalesce but never split
-        enc_parts = spark.sparkContext.defaultParallelism * 8
+        # which AQE can coalesce but never split. The dictionary-estimated
+        # posting mass (one vocab-scale agg, reused by the write-path
+        # bypass below) clamps the partition count when the whole payload
+        # is tiny: 256 near-empty applyInPandas tasks are pure scheduling
+        # overhead at toy scale, while at 100 TB the estimate exceeds the
+        # clamp by orders of magnitude and cores*8 always wins.
+        _mrow = term_dict.agg(F.sum("df"), F.max("term_id")).collect()[0]
+        n_postings, _max_tid = int(_mrow[0] or 0), int(_mrow[1] or 0)
+        est_bytes = n_postings * EST_BYTES_PER_POSTING
+        par = spark.sparkContext.defaultParallelism
+        enc_parts = par * 8
+        if est_bytes < par * 2 * POSTINGS_ROWGROUP_BYTES:
+            enc_parts = max(par, 8)
         blocks = (
             weighted.repartition(enc_parts, "term_id", "salt")
             .groupBy("term_id", "salt")
@@ -435,9 +446,6 @@ def finalize_index(
         # sf0.1 build regression). At 100 TB est_bytes exceeds the
         # threshold by orders of magnitude and the exact-placement
         # path always runs.
-        _mrow = term_dict.agg(F.sum("df"), F.max("term_id")).collect()[0]
-        n_postings, _max_tid = int(_mrow[0] or 0), int(_mrow[1] or 0)
-        est_bytes = n_postings * EST_BYTES_PER_POSTING
         small_scale = est_bytes < sort_parts * POSTINGS_ROWGROUP_BYTES
         bucket_bits = max((n_buckets - 1).bit_length(), 1)
         tid_bits = max(_max_tid.bit_length(), 1)

@@ -136,3 +136,21 @@ def test_cli_index_reassign_query_remap(spark, tmp_path, capsys):
         tuple(x.split()[i] for i in (0, 2, 4)) for x in lines
     }
     assert strip(a) == strip(b)
+
+
+def test_cli_export_hdf5(spark, tmp_path, capsys):
+    from splade_spark import cli
+    from splade_spark.sources.hdf5 import read_array_index
+
+    idx = str(tmp_path / "h5idx")
+    cli.main(
+        ["index", "--input", "/root/testdata/sf0.001", "--index-dir", idx,
+         "--segments", "2"]
+    )
+    out_dir = str(tmp_path / "h5out")
+    cli.main(["export-hdf5", "--index-dir", idx, "--output", out_dir])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["cmd"] == "export-hdf5" and out["bytes"] > 0
+    dim, post = read_array_index(out_dir)
+    assert dim > 0 and len(post) == dim
+    assert sum(len(ids) for ids, _ in post.values()) > 0
