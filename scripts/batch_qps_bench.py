@@ -77,6 +77,12 @@ for q in range({n_queries}):
     qrows.append((q, " ".join(terms)))
 
 from splade_spark.operators.index_query import search_fused
+# warmup: one tiny discarded batch so the timed run measures
+# steady-state throughput, not first-job JVM/codegen cost. Matters
+# when the index is reused (build_wall == 0): without it the query
+# batch is the FIRST job in a cold JVM and absorbs ~8s of warmup
+# (measured: l32 1024-batch 11.4s cold-first vs 2.7s after a build).
+search_fused(spark, idx, qrows[:64], k=1000).write.format("noop").mode("overwrite").save()
 t0 = time.time()
 search_fused(spark, idx, qrows, k=1000).write.format("noop").mode("overwrite").save()
 batch_wall = time.time() - t0
