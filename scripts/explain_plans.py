@@ -52,8 +52,8 @@ def main() -> None:
     sections: list[tuple[str, str, str]] = []
 
     sections.append((
-        "bm25_topk (logical path: tokenize → postings → broadcast join → agg → window top-k)",
-        formatted(m.q_bm25_topk(spark, SF_DIR)),
+        "bm25_topk_k1000 (logical path: tokenize → postings → broadcast join → agg → window top-k)",
+        formatted(m.q_bm25_topk_k1000(spark, SF_DIR)),
         "What to check: the `documents` scan reads only (doc_id, text) "
         "(ReadSchema — column pruning through tokenize); q_terms enters via "
         "BroadcastExchange + BroadcastHashJoin (never a shuffle of the postings "
