@@ -83,9 +83,15 @@ from splade_spark.operators.index_query import search_fused
 # batch is the FIRST job in a cold JVM and absorbs ~8s of warmup
 # (measured: l32 1024-batch 11.4s cold-first vs 2.7s after a build).
 search_fused(spark, idx, qrows[:64], k=1000).write.format("noop").mode("overwrite").save()
-t0 = time.time()
-search_fused(spark, idx, qrows, k=1000).write.format("noop").mode("overwrite").save()
-batch_wall = time.time() - t0
+# best-of-2, like scaling_bench: run 1 still pays residual JIT /
+# shuffle-service spin-up the 64-query warmup doesn't reach (measured
+# l32: 2.7s run 1 vs 1.5s run 2); a serving session pays it once
+walls = []
+for _ in range(2):
+    t0 = time.time()
+    search_fused(spark, idx, qrows, k=1000).write.format("noop").mode("overwrite").save()
+    walls.append(time.time() - t0)
+batch_wall = min(walls)
 
 print("RESULT " + json.dumps({{
     "cores": cores,
@@ -94,6 +100,7 @@ print("RESULT " + json.dumps({{
     "build_wall_sec": round(build_wall, 3),
     "n_queries": len(qrows),
     "batch_query_wall_sec": round(batch_wall, 3),
+    "batch_walls_all": [round(w, 3) for w in walls],
     "queries_per_sec": round(len(qrows) / batch_wall, 2),
 }}))
 """
