@@ -93,7 +93,7 @@ for _ in range(2):
     walls.append(time.time() - t0)
 batch_wall = min(walls)
 
-print("RESULT " + json.dumps({{
+res = {{
     "cores": cores,
     "n_docs": n_docs,
     "vocab": V,
@@ -102,7 +102,30 @@ print("RESULT " + json.dumps({{
     "batch_query_wall_sec": round(batch_wall, 3),
     "batch_walls_all": [round(w, 3) for w in walls],
     "queries_per_sec": round(len(qrows) / batch_wall, 2),
-}}))
+}}
+
+# single-query serving latency on the SAME selective corpus: the
+# scaling bench's latency rows run on the replicated corpus where
+# every query matches all docs (worst case) and block-max pruning
+# cannot fire; this is the sparse-match serving shape, incl. the
+# fused MaxScore driver path (zero cluster jobs when the retained
+# set fits driver_block_limit).
+n_single = {n_single}
+if n_single:
+    import statistics
+    from splade_spark.operators.maxscore import search_maxscore_fused
+    for name, fn in [("fused", search_fused), ("maxscore_fused", search_maxscore_fused)]:
+        fn(spark, idx, [qrows[0]], k=1000).toPandas()  # warm this path
+        lats = []
+        for i in range(1, n_single + 1):
+            t0 = time.time()
+            fn(spark, idx, [qrows[i]], k=1000).toPandas()
+            lats.append(time.time() - t0)
+        lats.sort()
+        res[f"single_{{name}}_p50_sec"] = round(statistics.median(lats), 3)
+        res[f"single_{{name}}_p99_sec"] = round(lats[max(0, int(len(lats) * 0.99) - 1)], 3)
+
+print("RESULT " + json.dumps(res))
 """
 
 
@@ -116,6 +139,7 @@ def run_level(cores: int, args) -> dict:
         n_queries=args.queries,
         q_terms=args.q_terms,
         index_dir=args.index_dir,
+        n_single=args.single,
     )
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores))
     out = subprocess.run(
@@ -140,6 +164,13 @@ def main() -> None:
     ap.add_argument("--queries", type=int, default=256)
     ap.add_argument("--q-terms", type=int, default=4)
     ap.add_argument("--levels", default="8,32")
+    ap.add_argument(
+        "--single",
+        type=int,
+        default=0,
+        help="also time N sequential single queries (search_fused + "
+        "search_maxscore_fused) and report p50/p99 serving latency",
+    )
     ap.add_argument(
         "--index-dir",
         default="",

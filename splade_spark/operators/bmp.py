@@ -225,6 +225,7 @@ def search_bmp(
 
     from splade_spark.functions.tokenize import py_tokenize
     from splade_spark.operators.index_query import (
+        buckets_for_terms,
         decode_blocks_vectorized,
         decode_doc_ids_vectorized,
         load_stats,
@@ -297,9 +298,19 @@ def search_bmp(
         return spark.createDataFrame([], out_schema)
     hit_terms = sorted({t for d in q_terms.values() for t in d})
 
+    # bucket partition-dir pruning for the driver-side metadata and
+    # payload fetches (same pushdown the Spark plans get from
+    # in_literals("bucket", ...)): both the bmp block-max table and the
+    # postings table are hive-partitioned by bucket, so a q-term query
+    # touches <= q of the n_buckets directories
+    bucket_flt = pads.field("bucket").isin(
+        buckets_for_terms(
+            [t for t in all_terms if t in tid_of], int(stats["n_buckets"])
+        )
+    )
     bmp_tbl = pads.dataset(bmp_dir, partitioning="hive").to_table(
         columns=["term_id", "doc_block", "ub"],
-        filter=pads.field("term_id").isin(hit_terms),
+        filter=bucket_flt & pads.field("term_id").isin(hit_terms),
     )
     b_tid = bmp_tbl.column("term_id").to_numpy()
     b_blk = bmp_tbl.column("doc_block").to_numpy()
@@ -378,7 +389,9 @@ def search_bmp(
                 range_pred = p if range_pred is None else (range_pred | p)
             tbl = post_ds.to_table(
                 columns=["term_id", "first_doc_id", "n", "doc_gap_bytes", payload],
-                filter=pads.field("term_id").isin(round_terms) & range_pred,
+                filter=bucket_flt
+                & pads.field("term_id").isin(round_terms)
+                & range_pred,
             )
             fetched_rows += tbl.num_rows
             fetched_postings += int(tbl.column("n").to_numpy().sum())

@@ -221,9 +221,14 @@ def search_maxscore_fused(
     post_ds = pads.dataset(
         os.path.join(index_dir, "postings"), partitioning="hive"
     )
+    # bucket is the hive partition field: filtering on it prunes whole
+    # partition directories before any footer/row-group work — the
+    # driver-side twin of load_postings' in_literals("bucket", ...)
+    # pushdown (a q-term query touches <= q of the n_buckets dirs)
+    bucket_flt = pads.field("bucket").isin(buckets)
     meta = post_ds.to_table(
         columns=["term_id", "block_id", "first_doc_id", "last_doc_id", "n", "block_max"],
-        filter=pads.field("term_id").isin(hit_terms),
+        filter=bucket_flt & pads.field("term_id").isin(hit_terms),
     ).to_pandas()
     by_term = dict(iter(meta.groupby("term_id")))
 
@@ -235,7 +240,8 @@ def search_maxscore_fused(
         bids = sorted({b for _, b in pairs})
         tbl = post_ds.to_table(
             columns=["term_id", "block_id", "first_doc_id", "n", "doc_gap_bytes", "impact_bytes"],
-            filter=pads.field("term_id").isin(tids)
+            filter=bucket_flt
+            & pads.field("term_id").isin(tids)
             & pads.field("block_id").isin(bids),
         ).to_pandas()
         tbl = tbl[
