@@ -157,7 +157,7 @@ def decode_blocks_vectorized(
     return doc_ids, impacts
 
 
-DECODED_SCHEMA = "term_id int, block_id int, doc_id long, impact double"
+DECODED_SCHEMA = "term_id int, block_id long, doc_id long, impact double"
 _BLOCK_COLS = ["term_id", "block_id", "first_doc_id", "n", "doc_gap_bytes", "impact_bytes"]
 
 
@@ -183,7 +183,7 @@ def _make_decode_postings(gap_codec: str):
             yield pd.DataFrame(
                 {
                     "term_id": np.repeat(pdf["term_id"].to_numpy(dtype=np.int32), ns),
-                    "block_id": np.repeat(pdf["block_id"].to_numpy(dtype=np.int32), ns),
+                    "block_id": np.repeat(pdf["block_id"].to_numpy(dtype=np.int64), ns),
                     "doc_id": doc_ids,
                     "impact": impacts,
                 }

@@ -65,7 +65,12 @@ POSTINGS = T.StructType(
     [
         T.StructField("term_id", T.IntegerType(), False),
         T.StructField("bucket", T.IntegerType(), False),
-        T.StructField("block_id", T.IntegerType(), False),
+        # long: block_id = salt * 2^24 + seq (index_build._BLOCK_ID_STRIDE),
+        # and salt counts scale with per-term df / salt_unit — an int32
+        # caps a posting list at 128 salt units (~8.4M postings), which a
+        # 10^12-doc stopword exceeds by orders of magnitude (measured: the
+        # 16M-doc replicated corpus already overflows the Arrow cast)
+        T.StructField("block_id", T.LongType(), False),
         T.StructField("first_doc_id", T.LongType(), False),
         T.StructField("last_doc_id", T.LongType(), False),
         T.StructField("n", T.IntegerType(), False),

@@ -502,3 +502,45 @@ def test_packed_key_overflow_falls_back_to_range_partitioner(
                 ).to_pandas()
                 keys = list(zip(t.term_id, t.block_id))
                 assert keys == sorted(keys), f"unsorted key run in {f}"
+
+
+def test_block_id_beyond_int32(spark, tmp_path):
+    """A hot term whose posting list spans >128 salt units produces
+    block_id = salt * 2^24 + seq values past 2^31; the postings schema
+    must carry them as long end-to-end (regression: the 16M-doc
+    replicated corpus overflowed the encoder's Arrow int32 cast — a
+    10^12-doc stopword is 4 orders of magnitude further past it) and
+    the materialized search must stay result-identical to the logical
+    path."""
+    from pyspark.sql import functions as F
+
+    n = 9000  # df("hot") = 9000 > 128 * salt_unit(64) = 8192
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("hot w"), (F.col("id") % 97).cast("string")).alias("text"),
+    )
+    idx = str(tmp_path / "idx_hot")
+    build_index(docs, idx, n_segments=2, n_buckets=8, block_size=16, salt_unit=64)
+
+    post = spark.read.parquet(os.path.join(idx, "postings"))
+    assert dict(post.dtypes)["block_id"] == "bigint"
+    assert post.agg({"block_id": "max"}).collect()[0][0] > (1 << 31)
+
+    queries = spark.createDataFrame(
+        [(0, "hot w3"), (1, "hot w42")], "qid long, text string"
+    )
+    got = (
+        search(spark, idx, queries, k=K)
+        .toPandas()
+        .sort_values(["qid", "rank"])
+        .reset_index(drop=True)
+    )
+    want = (
+        bm25_run(docs, queries=queries, k=K)
+        .toPandas()
+        .sort_values(["qid", "rank"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    assert (got.doc_id.values == want.doc_id.values).all()
+    assert (abs(got.score.values - want.score.values) < 1e-9).all()
