@@ -171,13 +171,22 @@ def minhash_lsh_pairs(
     n_sigs: int = MINHASH_SIGS,
     n_bands: int = MINHASH_BANDS,
     min_est: float = 0.5,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """(a, b, est_jaccard): pairs sharing >=1 LSH band; est = fraction
     of agreeing minhash components.
 
     Scale: band join is an equi-join on (band_idx, band_key) — a
     candidate doc pair appears once per agreeing band, deduped by the
-    groupBy. No O(n^2) stage.
+    groupBy. No O(n^2) stage over the CORPUS — but a single band
+    bucket of B docs still emits O(B^2) pairs, and web corpora carry
+    exact-duplicate boilerplate clusters that land whole in one bucket
+    (measured: 1M docs in 1000-identical clusters -> 499.5M pairs).
+    ``bucket_cap`` drops band buckets larger than the cap (the
+    hot-shingle-df analog in ngram_jaccard_pairs): an over-cap bucket
+    is near-certainly an exact-dup cluster, which exact_dedup — one
+    md5 groupBy, run FIRST in the pipeline — removes for O(B) instead.
+    Default None preserves the exhaustive contract (the oracle twin).
     """
     rows_per_band = n_sigs // n_bands
     sigs = minhash_signatures(documents, n_sigs)
@@ -205,6 +214,15 @@ def minhash_lsh_pairs(
     ).select("doc_id", "sig", "band.band_idx", "band.band_key").persist()
     # ^ both join sides read the banded relation; persist avoids
     # recomputing shingle->minhash for each side
+    if bucket_cap is not None:
+        over = (
+            bands.groupBy("band_idx", "band_key")
+            .count()
+            .filter(F.col("count") > bucket_cap)
+            .select("band_idx", "band_key")
+        )
+        # broadcast anti-join: over-cap buckets are few by construction
+        bands = bands.join(F.broadcast(over), ["band_idx", "band_key"], "left_anti")
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (

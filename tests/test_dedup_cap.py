@@ -32,3 +32,26 @@ def test_cap_keeps_genuine_near_dups(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     pairs = ngram_jaccard_pairs(docs, min_jaccard=0.2, max_shingle_df=10).collect()
     assert [(r.a, r.b) for r in pairs] == [(N_DOCS, N_DOCS + 1)]
+
+
+def test_minhash_bucket_cap(spark):
+    """A cluster of identical docs lands whole in every LSH band
+    bucket (B^2 pairs); bucket_cap drops those buckets while genuine
+    near-dup pairs (small buckets) survive."""
+    from splade_spark.operators.dedup import minhash_lsh_pairs
+
+    n_clone = 30
+    rows = [(i, "lorem ipsum dolor sit amet consectetur adipiscing elit")
+            for i in range(n_clone)]
+    # one genuine near-dup pair, distinct from the clone text
+    rows.append((100, "alpha beta gamma delta epsilon zeta eta theta"))
+    rows.append((101, "alpha beta gamma delta epsilon zeta eta iota"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = minhash_lsh_pairs(docs, min_est=0.5)
+    assert uncapped.count() >= n_clone * (n_clone - 1) // 2
+
+    capped = minhash_lsh_pairs(docs, min_est=0.5, bucket_cap=10).collect()
+    pairs = sorted((r.a, r.b) for r in capped)
+    assert (100, 101) in pairs                      # near-dup survives
+    assert all(a >= 100 for a, _ in pairs)          # clone cluster gone
