@@ -271,13 +271,20 @@ def simhash(documents: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
 
 
 def simhash_pairs(
-    documents: DataFrame, max_hamming: int = 6, bits: int = SIMHASH_BITS
+    documents: DataFrame,
+    max_hamming: int = 6,
+    bits: int = SIMHASH_BITS,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """(a, b, hamming) pairs within Hamming distance.
 
     Scale: block on simhash prefix bytes (pigeonhole: two docs within
     hamming h share at least one of h+1 equal-width chunks) — here
     4 chunks of 8 bits for h<=3·, generalized to ceil(bits/(h+1)).
+    ``bucket_cap`` drops chunk buckets larger than the cap — identical
+    boilerplate clusters share EVERY chunk, so each contributes B^2
+    join rows per chunk uncapped; same contract and rationale as
+    minhash_lsh_pairs(bucket_cap=...). Default None = exhaustive.
     """
     n_chunks = max_hamming + 1
     chunk_w = bits // n_chunks
@@ -299,6 +306,16 @@ def simhash_pairs(
             )
         ).alias("ch"),
     ).select("doc_id", "simhash", "ch.chunk_idx", "ch.chunk_val").persist()
+    if bucket_cap is not None:
+        over = (
+            chunks.groupBy("chunk_idx", "chunk_val")
+            .count()
+            .filter(F.col("count") > bucket_cap)
+            .select("chunk_idx", "chunk_val")
+        )
+        chunks = chunks.join(
+            F.broadcast(over), ["chunk_idx", "chunk_val"], "left_anti"
+        )
     a = chunks.alias("a")
     b = chunks.alias("b")
     return (

@@ -55,3 +55,25 @@ def test_minhash_bucket_cap(spark):
     pairs = sorted((r.a, r.b) for r in capped)
     assert (100, 101) in pairs                      # near-dup survives
     assert all(a >= 100 for a, _ in pairs)          # clone cluster gone
+
+
+def test_simhash_bucket_cap(spark):
+    """Identical docs share every simhash chunk — each cluster is B^2
+    join rows per chunk uncapped; the cap drops those buckets while a
+    small-bucket near-dup pair survives."""
+    from splade_spark.operators.dedup import simhash_pairs
+
+    n_clone = 30
+    rows = [(i, "lorem ipsum dolor sit amet consectetur adipiscing elit")
+            for i in range(n_clone)]
+    rows.append((100, "alpha beta gamma delta epsilon zeta eta theta"))
+    rows.append((101, "alpha beta gamma delta epsilon zeta eta iota"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = simhash_pairs(docs, max_hamming=8)
+    assert uncapped.count() >= n_clone * (n_clone - 1) // 2
+
+    capped = simhash_pairs(docs, max_hamming=8, bucket_cap=10).collect()
+    pairs = sorted((r.a, r.b) for r in capped)
+    assert (100, 101) in pairs
+    assert all(a >= 100 for a, _ in pairs)
