@@ -80,6 +80,7 @@ def embedding_dup_pairs(
     min_cos: float = 0.9,
     n_planes: int = LSH_PLANES,
     dim: int | None = None,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """(a, b, cos): near-duplicate vector pairs above a cosine
     threshold.
@@ -92,10 +93,24 @@ def embedding_dup_pairs(
     BroadcastNestedLoopJoin: O(n^2) rows, the textbook scale-killer at
     a 10^12-row table. Cross-bucket pairs are missed (recall < 1, the
     standard LSH trade: near-duplicates at cos >= 0.9 flip a sign bit
-    with low probability per plane)."""
+    with low probability per plane).
+
+    ``bucket_cap`` drops LSH buckets larger than the cap before the
+    self-join (broadcast anti-join) — an identical-embedding cluster
+    of B vectors is B^2 join rows uncapped; same rationale as
+    dedup.minhash_lsh_pairs(bucket_cap=...). Default None =
+    exhaustive (the oracle contract)."""
     base = lsh_signatures(embeddings, n_planes, dim=dim).withColumn(
         "nrm", _norm(F.col("embedding"))
     ).persist()  # both self-join branches read it; Catalyst won't reuse
+    if bucket_cap is not None:
+        over = (
+            base.groupBy("bucket")
+            .count()
+            .filter(F.col("count") > bucket_cap)
+            .select("bucket")
+        )
+        base = base.join(F.broadcast(over), "bucket", "left_anti")
     a = base.alias("a")
     b = base.alias("b")
     return (

@@ -77,3 +77,26 @@ def test_simhash_bucket_cap(spark):
     pairs = sorted((r.a, r.b) for r in capped)
     assert (100, 101) in pairs
     assert all(a >= 100 for a, _ in pairs)
+
+
+def test_embedding_bucket_cap(spark):
+    """An identical-embedding cluster fills one LSH bucket (B^2 join
+    rows); the cap drops it while a distinct near-dup pair survives."""
+    from pyspark.sql import functions as F
+
+    from splade_spark.operators.ann import embedding_dup_pairs
+
+    n_clone = 30
+    clone = [1.0, 0.5, -0.25, 0.75]
+    rows = [(i, clone) for i in range(n_clone)]
+    rows.append((100, [-1.0, 0.4, 0.8, -0.3]))
+    rows.append((101, [-1.0, 0.41, 0.79, -0.3]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    uncapped = embedding_dup_pairs(emb, min_cos=0.95, dim=4)
+    assert uncapped.count() >= n_clone * (n_clone - 1) // 2
+
+    capped = embedding_dup_pairs(emb, min_cos=0.95, dim=4, bucket_cap=10).collect()
+    pairs = sorted((r.a, r.b) for r in capped)
+    assert (100, 101) in pairs
+    assert all(a >= 100 for a, _ in pairs)
