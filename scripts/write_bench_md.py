@@ -673,6 +673,12 @@ def main() -> None:
             "dominates and the append's skip-committed-segments resume is",
             "the win that matters.",
             "",
+            "Scale probe: appending 2M docs onto a 2M-doc index at",
+            "local[32] takes 31.9 s vs 31.3 s for the base build — the",
+            "documented parity (finalize rewrites all postings; global",
+            "BM25 stats), with correct merged stats (n_docs=4M) and a",
+            "sub-second search over the appended index.",
+            "",
         ]
 
     if bench:
