@@ -62,6 +62,10 @@ def main() -> None:
         "headroom row; repeatable)",
     )
     ap.add_argument(
+        "--probes",
+        help="scripts/scale_probes.py output (JSONL, one line per probe)",
+    )
+    ap.add_argument(
         "--qps",
         action="append",
         default=[],
@@ -638,6 +642,36 @@ def main() -> None:
             for c in cells
         ]
         lines.append("")
+
+    if args.probes:
+        cells = []
+        with open(args.probes) as f:
+            for line in f:
+                line = line.strip()
+                if line.startswith('{"probe"'):
+                    cells.append(json.loads(line))
+        if cells:
+            lines += [
+                "## Scale-probe campaign (scripts/scale_probes.py)",
+                "",
+                "Every subsystem run at >= 4x its benched size, asserting",
+                "completion + correctness — the harness that caught the",
+                "int32 block_id overflow (16M-doc build failure, fixed) and",
+                "the LSH duplicate-cluster pair blow-up (1M docs in",
+                "1000-clone clusters -> 499.5M uncapped candidate pairs;",
+                "bucket_cap added across minhash/simhash/embedding pair",
+                "generators). Correctness tests prove semantics at small SF;",
+                "these prove the same code paths survive the data growing.",
+                "",
+                "| probe | wall (s) | detail |",
+                "|---|---|---|",
+            ]
+            for c in cells:
+                detail = ", ".join(
+                    f"{k}={v}" for k, v in c.items() if k not in ("probe", "wall_s")
+                )
+                lines.append(f"| {c['probe']} | {c['wall_s']} | {detail} |")
+            lines.append("")
 
     if args.drain:
         with open(args.drain) as f:
