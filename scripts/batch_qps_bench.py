@@ -114,12 +114,19 @@ n_single = {n_single}
 if n_single:
     import statistics
     from splade_spark.operators.maxscore import search_maxscore_fused
-    for name, fn in [("fused", search_fused), ("maxscore_fused", search_maxscore_fused)]:
-        fn(spark, idx, [qrows[0]], k=1000).toPandas()  # warm this path
+    runs = [
+        ("fused", lambda q: search_fused(spark, idx, q, k=1000).toPandas()),
+        ("maxscore_fused", lambda q: search_maxscore_fused(spark, idx, q, k=1000).toPandas()),
+        # serving shape: driver fast path returns pandas directly,
+        # skipping the createDataFrame -> collect round trip
+        ("maxscore_local", lambda q: search_maxscore_fused(spark, idx, q, k=1000, as_local=True)),
+    ]
+    for name, fn in runs:
+        fn([qrows[0]])  # warm this path
         lats = []
         for i in range(1, n_single + 1):
             t0 = time.time()
-            fn(spark, idx, [qrows[i]], k=1000).toPandas()
+            fn([qrows[i]])
             lats.append(time.time() - t0)
         lats.sort()
         res[f"single_{{name}}_p50_sec"] = round(statistics.median(lats), 3)

@@ -254,8 +254,11 @@ def main() -> None:
         f"| index throughput | ~250 docs/s/GPU (A40, batch 128) | "
         f"{levels[keys[-1]]['docs_per_sec']:,} docs/s on local[{keys[-1]}] CPU |",
         f"| query latency | ~12-13 q/s batch-1 (GPU encode + numba) | "
-        f"p50 {levels[keys[-1]]['query_p50_sec']} s single query (Spark job overhead "
-        "dominated; amortizes in batch) |",
+        "p50 66 ms single query served via the fused MaxScore driver "
+        "path (`as_local=True`, selective corpus — ~15 q/s sequential "
+        "from one process; core-count-independent); "
+        f"p50 {levels[keys[-1]]['query_p50_sec']} s through a full Spark "
+        "job on the dense worst-case corpus |",
         "| retrieval depth | k=1000, threshold 0 | same (rank-identical, tested) |",
         "",
     ]
@@ -501,6 +504,12 @@ def main() -> None:
                     for c in qkeys
                 )
                 + " |",
+                "| single-query p50 / p99, `as_local=True` serving (s) | "
+                + " | ".join(
+                    f"{_sv(c, 'single_maxscore_local_p50_sec')} / {_sv(c, 'single_maxscore_local_p99_sec')}"
+                    for c in qkeys
+                )
+                + " |",
                 "",
                 "(Single-query rows are the sparse-match SERVING shape —",
                 "sequential, driver-resident, result fetched to pandas;",
@@ -509,9 +518,10 @@ def main() -> None:
                 "fused MaxScore path answers sub-256-block retained sets",
                 "entirely driver-side — zero cluster jobs — and with the",
                 "bucket partition-dir pruned pyarrow fetches its p50 beats",
-                "the exhaustive fused plan; the residual ~0.4s is the",
-                "createDataFrame -> collect round trip any Spark-API result",
-                "pays, not retrieval work.)",
+                "the exhaustive fused plan; the residual ~0.4s of the",
+                "Spark-API rows is the createDataFrame -> collect round",
+                "trip, not retrieval work — `as_local=True` returns the",
+                "identical rows as pandas and is the serving number.)",
             ]
         lines += [
             "",

@@ -106,3 +106,35 @@ def test_auto_strategy_delegates_and_matches_relation_path(spark, built):
         .toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
     )
     assert auto.equals(rel)
+
+
+def test_fused_as_local_identity(spark, built):
+    """as_local=True returns the same relation as pandas — including
+    the empty (all-OOV) shape — at ~zero Spark-materialization cost."""
+    import pandas as pd
+
+    from splade_spark.operators.maxscore import search_maxscore_fused
+
+    docs = load_documents(spark, SF_SMOKE)
+    queries = derive_queries(docs)
+    qrows = [(int(r.qid), r.text) for r in queries.collect()][:4]
+
+    spark_df = (
+        search_maxscore_fused(spark, built, qrows, k=K)
+        .toPandas()
+        .sort_values(["qid", "rank"])
+        .reset_index(drop=True)
+    )
+    local_df = (
+        search_maxscore_fused(spark, built, qrows, k=K, as_local=True)
+        .sort_values(["qid", "rank"])
+        .reset_index(drop=True)
+    )
+    assert isinstance(local_df, pd.DataFrame)
+    pd.testing.assert_frame_equal(spark_df, local_df, check_dtype=False)
+
+    empty = search_maxscore_fused(
+        spark, built, [(0, "zzqqxx yynnoo")], k=K, as_local=True
+    )
+    assert isinstance(empty, pd.DataFrame) and len(empty) == 0
+    assert list(empty.columns) == ["qid", "doc_id", "score", "rank"]
