@@ -275,6 +275,14 @@ def main() -> None:
         lambda: search_maxscore_fused(spark, idx, qrows, k=10).collect()
     )
     t_exf, r_exf = timed(lambda: search_fused(spark, idx, qrows, k=10).collect())
+    # serving shape: pruning fires on this corpus, so the driver fast
+    # path answers locally and as_local skips the Spark materialization
+    t_serve, r_serve = timed(
+        lambda: search_maxscore_fused(spark, idx, qrows, k=10, as_local=True)
+    )
+    assert {(r.doc_id, r.score) for r in r_ms} == set(
+        zip(r_serve.doc_id.tolist(), r_serve.score.tolist())
+    ), "as_local serving result diverged"
     for other, name in [(r_ex, "exhaustive"), (r_msf, "fused-maxscore"), (r_exf, "fused")]:
         assert {(r.doc_id, r.score) for r in r_ms} == {
             (r.doc_id, r.score) for r in other
@@ -292,6 +300,7 @@ def main() -> None:
                 "maxscore_best_s": round(t_ms, 3),
                 "exhaustive_best_s": round(t_ex, 3),
                 "maxscore_fused_best_s": round(t_msf, 3),
+                "maxscore_serve_best_s": round(t_serve, 3),
                 "exhaustive_fused_best_s": round(t_exf, 3),
                 "fused_speedup": round(t_exf / t_msf, 3),
                 **acct,

@@ -315,6 +315,13 @@ def main() -> None:
         )
         prow("`search_fused` (exhaustive, 2-stage) best wall (s)", "{}", "exhaustive_fused_best_s")
         prow("`search_maxscore_fused` (driver-side passes) best wall (s)", "{}", "maxscore_fused_best_s", bold=True)
+        if all("maxscore_serve_best_s" in pr for pr in prs):
+            prow(
+                "`as_local=True` serving best wall (s) — result identity asserted",
+                "{}",
+                "maxscore_serve_best_s",
+                bold=True,
+            )
         prow("`search` (exhaustive DataFrame) best wall (s)", "{}", "exhaustive_best_s")
         prow("`search_maxscore` (all-DataFrame two-pass) best wall (s)", "{}", "maxscore_best_s", bold=True)
         if all("pruned_bytes_frac" in pr for pr in prs):
